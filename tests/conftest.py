@@ -1,0 +1,36 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding correctness is
+validated on virtual CPU devices (the driver separately dry-run-compiles
+the multi-chip path via __graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def small_group():
+    """A small (256-bit) safe-prime group for fast protocol tests."""
+    from vmn_tpu.arith.pgroup import ModPGroup
+
+    return ModPGroup.named("test256")
+
+
+@pytest.fixture(scope="session")
+def modp2048():
+    from vmn_tpu.arith.pgroup import ModPGroup
+
+    return ModPGroup.named("modp2048")

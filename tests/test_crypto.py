@@ -1,0 +1,87 @@
+"""PRG / random-oracle construction tests.
+
+The constructions mirror VCR's PRGHeuristic and RandomOracle as documented
+in the public Verificatum verifier spec; these tests pin the construction
+so future refactors can't silently change derivations.
+"""
+
+import hashlib
+import struct
+
+from vmn_tpu.crypto import PRGHeuristic, RandomOracle, SHA256, SHA512, SeededSource
+
+
+def test_prg_heuristic_counter_mode():
+    seed = bytes(range(32))
+    prg = PRGHeuristic(SHA256)
+    prg.set_seed(seed)
+    out = prg.read_bytes(80)
+    expect = b"".join(
+        hashlib.sha256(seed + struct.pack(">i", i)).digest() for i in range(3)
+    )[:80]
+    assert out == expect
+
+
+def test_prg_incremental_reads_match_bulk():
+    seed = b"\xab" * 32
+    p1 = PRGHeuristic(SHA256)
+    p1.set_seed(seed)
+    bulk = p1.read_bytes(100)
+    p2 = PRGHeuristic(SHA256)
+    p2.set_seed(seed)
+    parts = p2.read_bytes(7) + p2.read_bytes(50) + p2.read_bytes(43)
+    assert parts == bulk
+
+
+def test_prg_seed_truncated_to_min():
+    p1 = PRGHeuristic(SHA256)
+    p1.set_seed(bytes(32) + b"extra")
+    p2 = PRGHeuristic(SHA256)
+    p2.set_seed(bytes(32))
+    assert p1.read_bytes(32) == p2.read_bytes(32)
+
+
+def test_random_oracle_construction():
+    data = b"some data"
+    nbits = 100
+    ro = RandomOracle(SHA256, nbits)
+    out = ro.hash(data)
+    # Manual: seed = H(be32(nbits) | data), expand, mask 4 top bits.
+    seed = hashlib.sha256(struct.pack(">i", nbits) + data).digest()
+    prg = PRGHeuristic(SHA256)
+    prg.set_seed(seed)
+    expect = bytearray(prg.read_bytes(13))
+    expect[0] &= 0x0F
+    assert out == bytes(expect)
+    assert len(out) == 13
+
+
+def test_random_oracle_byte_aligned_no_mask():
+    ro = RandomOracle(SHA256, 256)
+    out = ro.hash(b"x")
+    assert len(out) == 32
+
+
+def test_random_oracle_incremental():
+    ro = RandomOracle(SHA512, 513)
+    d = ro.digest()
+    d.update(b"ab")
+    d.update(b"cd")
+    assert d.finalize() == ro.hash(b"abcd")
+    assert len(ro.hash(b"abcd")) == 65
+    assert ro.hash(b"abcd")[0] <= 1  # 7 top bits masked
+
+
+def test_seeded_source_deterministic():
+    a = SeededSource(b"seed")
+    b = SeededSource(b"seed")
+    assert a.read_bytes(64) == b.read_bytes(64)
+    x = a.random_int(100)
+    assert 0 <= x < (1 << 100)
+
+
+def test_random_int_mod():
+    s = SeededSource(b"seed2")
+    for mod in (1, 2, 17, 1 << 64):
+        for _ in range(5):
+            assert 0 <= s.random_int_mod(mod) < mod

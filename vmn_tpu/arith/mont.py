@@ -1,0 +1,398 @@
+"""Batched Montgomery arithmetic over multi-limb integers (JAX/XLA).
+
+This is the device compute core replacing the reference's GMP/gmpmee native
+layer (reference: SURVEY.md §2.3 — modular exponentiation, simultaneous
+multi-exponentiation `prod b_i^{e_i}` used 23x e.g. PoSBasicTW.java:408-409,
+fixed-base exponentiation used by `g.exp(array)` 91x).
+
+Design (TPU-first):
+  * elements are ``(..., L)`` uint32 tensors of 16-bit limbs (see limbs.py);
+    the batch axis N (ciphertexts) maps onto VPU lanes/sublanes and shards
+    across the device mesh; the limb axis stays on-chip;
+  * Montgomery multiplication is CIOS with lazy carries: the inner loop
+    accumulates 16-bit partial products in 32-bit lanes (<=2^25 after 128
+    iterations) and resolves carries once per multiplication with an exact
+    scan that simultaneously performs the conditional final subtraction —
+    inputs and outputs are always canonical (< m);
+  * exponentiation is fixed-window (w=4) square-and-multiply over the batch
+    — no data-dependent control flow, identical schedule for every element
+    (constant-time by construction, unlike the reference);
+  * fixed-base exponentiation uses precomputed radix-2^8 tables shared
+    across the batch (the gmpmee fixed-base equivalent);
+  * simultaneous multi-exponentiation = batched exponentiation + a
+    log-depth product tree over the batch axis.
+
+A Pallas kernel fast path for `mont_mul`/`mont_exp` lives in
+`vmn_tpu.ops.mont_kernels`; this module is the portable XLA reference used
+on CPU and as fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vmn_tpu.arith.limbs import (
+    LIMB_BITS,
+    LIMB_MASK,
+    int_to_limbs,
+    ints_to_limbs,
+    limbs_to_int,
+    num_limbs,
+)
+
+# ----------------------------------------------------------------- helpers
+
+
+def _broadcast_pair(a, b):
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    return jnp.broadcast_to(a, shape), jnp.broadcast_to(b, shape)
+
+
+def _finalize(t, m):
+    """Normalize lazy limbs and conditionally subtract the modulus.
+
+    t: (..., L+1) uint32 lazy limbs (each < 2^26) holding a value in [0, 2m).
+    m: (L,) uint32 canonical modulus limbs.
+    Returns canonical (..., L) uint32 with value = t mod m' semantics
+    (t if t < m else t - m).
+    """
+    L = m.shape[-1]
+    mp = jnp.concatenate([m, jnp.zeros((1,), jnp.uint32)]).astype(jnp.int32)
+    tt = jnp.moveaxis(t, -1, 0).astype(jnp.int32)  # (L+1, ...)
+    mm = jnp.broadcast_to(mp.reshape((L + 1,) + (1,) * (tt.ndim - 1)), tt.shape)
+
+    zeros = jnp.zeros(tt.shape[1:], jnp.int32)
+
+    def step(state, xs):
+        carry, borrow = state
+        tk, mk = xs
+        s = tk + carry
+        lo = s & LIMB_MASK
+        carry = s >> LIMB_BITS
+        d = lo - mk - borrow
+        dlo = d & LIMB_MASK
+        borrow = (d >> 31) & 1
+        return (carry, borrow), (lo, dlo)
+
+    (_, borrow), (lo, dlo) = jax.lax.scan(step, (zeros, zeros), (tt, mm))
+    res = jnp.where(borrow[None].astype(bool), lo, dlo)
+    return jnp.moveaxis(res, 0, -1)[..., :L].astype(jnp.uint32)
+
+
+def _mont_mul(a, b, m, mprime):
+    """CIOS Montgomery product a*b*R^{-1} mod m; inputs canonical (..., L)."""
+    a, b = _broadcast_pair(a, b)
+    L = m.shape[-1]
+    t = jnp.zeros(a.shape[:-1] + (L + 1,), jnp.uint32)
+
+    def body(i, t):
+        ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=-1)  # (..., 1)
+        p = ai * b
+        t = t.at[..., :L].add(p & LIMB_MASK)
+        t = t.at[..., 1:].add(p >> LIMB_BITS)
+        q = ((t[..., 0] * mprime) & LIMB_MASK)[..., None]
+        p2 = q * m
+        t = t.at[..., :L].add(p2 & LIMB_MASK)
+        t = t.at[..., 1:].add(p2 >> LIMB_BITS)
+        carry = t[..., 0] >> LIMB_BITS
+        t = jnp.concatenate(
+            [t[..., 1:], jnp.zeros_like(t[..., :1])], axis=-1
+        )
+        t = t.at[..., 0].add(carry)
+        return t
+
+    t = jax.lax.fori_loop(0, L, body, t)
+    return _finalize(t, m)
+
+
+def _sub_borrow(a, b):
+    """Exact limbwise a - b: returns (diff mod 2^(16L), borrow (...,))."""
+    a, b = _broadcast_pair(a, b)
+    aa = jnp.moveaxis(a, -1, 0).astype(jnp.int32)
+    bb = jnp.moveaxis(b, -1, 0).astype(jnp.int32)
+    zeros = jnp.zeros(aa.shape[1:], jnp.int32)
+
+    def step(borrow, xs):
+        ak, bk = xs
+        d = ak - bk - borrow
+        return (d >> 31) & 1, d & LIMB_MASK
+
+    borrow, d = jax.lax.scan(step, zeros, (aa, bb))
+    return jnp.moveaxis(d, 0, -1).astype(jnp.uint32), borrow
+
+
+def _add_carry(a, b):
+    """Exact limbwise a + b mod 2^(16L) (carry out dropped)."""
+    a, b = _broadcast_pair(a, b)
+    aa = jnp.moveaxis(a, -1, 0)
+    bb = jnp.moveaxis(b, -1, 0)
+    zeros = jnp.zeros(aa.shape[1:], jnp.uint32)
+
+    def step(carry, xs):
+        ak, bk = xs
+        s = ak + bk + carry
+        return s >> LIMB_BITS, s & LIMB_MASK
+
+    _, s = jax.lax.scan(step, zeros, (aa, bb))
+    return jnp.moveaxis(s, 0, -1)
+
+
+# ------------------------------------------------------------- jitted ops
+
+
+@jax.jit
+def mont_mul(a, b, m, mprime):
+    return _mont_mul(a, b, m, mprime)
+
+
+@jax.jit
+def add_mod(a, b, m):
+    """(a + b) mod m for canonical a, b < m."""
+    s = a + b  # limbs <= 2^17, lazy
+    a_, s_ = _broadcast_pair(a, s)
+    t = jnp.concatenate([s_, jnp.zeros_like(s_[..., :1])], axis=-1)
+    return _finalize(t, m)
+
+
+@jax.jit
+def sub_mod(a, b, m):
+    """(a - b) mod m for canonical a, b < m."""
+    d, borrow = _sub_borrow(a, b)
+    mb = jnp.broadcast_to(m, d.shape)
+    d_plus_m = _add_carry(d, mb)
+    return jnp.where(borrow[..., None].astype(bool), d_plus_m, d)
+
+
+@jax.jit
+def is_lt(a, b):
+    """a < b limbwise big-int compare -> bool (...,)."""
+    _, borrow = _sub_borrow(a, b)
+    return borrow.astype(bool)
+
+
+_WINDOW = 4
+
+
+def _digit(e, j):
+    """Extract 4-bit digit j (traced) from (..., Le) exponent limbs."""
+    limb = j // (LIMB_BITS // _WINDOW)
+    shift = (j % (LIMB_BITS // _WINDOW)) * _WINDOW
+    el = jax.lax.dynamic_slice_in_dim(e, limb, 1, axis=-1)[..., 0]
+    return (el >> shift) & ((1 << _WINDOW) - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("nbits",))
+def mont_exp(base, e, m, mprime, one_mont, nbits: int):
+    """base^e in Montgomery form, fixed 4-bit windows.
+
+    base: (..., L) Montgomery-form canonical.  e: (..., Le) standard-form
+    limbs.  Every element follows the identical schedule (no data-dependent
+    branching): digits select table entries with gathers.
+    """
+    L = m.shape[-1]
+    shape = jnp.broadcast_shapes(base.shape[:-1], e.shape[:-1])
+    base = jnp.broadcast_to(base, shape + (L,))
+    e = jnp.broadcast_to(e, shape + e.shape[-1:])
+
+    one = jnp.broadcast_to(one_mont, shape + (L,))
+
+    # Table of base^d for d in [0, 16).
+    tbl = [one, base]
+    for _ in range(2, 1 << _WINDOW):
+        tbl.append(_mont_mul(tbl[-1], base, m, mprime))
+    table = jnp.stack(tbl, axis=-2)  # (..., 16, L)
+
+    ndig = (nbits + _WINDOW - 1) // _WINDOW
+
+    def body(k, acc):
+        j = ndig - 1 - k
+        for _ in range(_WINDOW):
+            acc = _mont_mul(acc, acc, m, mprime)
+        dig = _digit(e, j)
+        idx = jnp.broadcast_to(dig[..., None, None], shape + (1, L))
+        fac = jnp.take_along_axis(table, idx.astype(jnp.int32), axis=-2)[
+            ..., 0, :
+        ]
+        return _mont_mul(acc, fac, m, mprime)
+
+    return jax.lax.fori_loop(0, ndig, body, one)
+
+
+def prod_reduce(x, m, mprime, axis=0):
+    """Log-depth product tree along `axis` with Montgomery products."""
+    x = jnp.moveaxis(x, axis, 0)
+    while x.shape[0] > 1:
+        n = x.shape[0]
+        h = n // 2
+        lo = _mont_mul(x[:h], x[h : 2 * h], m, mprime)
+        x = jnp.concatenate([lo, x[2 * h :]], axis=0) if n % 2 else lo
+    return x[0]
+
+
+@functools.partial(jax.jit, static_argnames=("nbits",))
+def mont_expprod(bases, e, m, mprime, one_mont, nbits: int):
+    """Simultaneous multi-exponentiation prod_i bases_i^{e_i} over axis 0.
+
+    The gmpmee `spowm` equivalent (reference: SURVEY.md §2.3): batched
+    windowed exponentiation followed by a log-depth product reduction.
+    """
+    powers = mont_exp(bases, e, m, mprime, one_mont, nbits)
+    return prod_reduce(powers, m, mprime, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("ndig", "fb_window"))
+def _fixed_base_exp(table, e, m, mprime, one_mont, ndig: int, fb_window: int):
+    """prod_j table[j][digit_j(e)] — shared-base exponentiation.
+
+    table: (J, 2^w, L) Montgomery form.  e: (..., Le) standard limbs.
+    """
+    L = m.shape[-1]
+    shape = e.shape[:-1]
+    acc = jnp.broadcast_to(one_mont, shape + (L,))
+    digits_per_limb = LIMB_BITS // fb_window
+    dig_mask = (1 << fb_window) - 1
+
+    def body(j, acc):
+        limb = j // digits_per_limb
+        shift = (j % digits_per_limb) * fb_window
+        el = jax.lax.dynamic_slice_in_dim(e, limb, 1, axis=-1)[..., 0]
+        dig = (el >> shift) & dig_mask
+        row = jax.lax.dynamic_slice_in_dim(table, j, 1, axis=0)[0]  # (2^w, L)
+        fac = row[dig.astype(jnp.int32)]  # (..., L)
+        return _mont_mul(acc, fac, m, mprime)
+
+    return jax.lax.fori_loop(0, ndig, body, acc)
+
+
+# ---------------------------------------------------------------- context
+
+
+class MontCtx:
+    """Montgomery context for a fixed odd modulus.
+
+    Holds device-resident constants and exposes batched canonical-form
+    operations.  Group elements are kept in Montgomery form by the group
+    layer; field/ring elements in standard form (they are exponents).
+    """
+
+    def __init__(self, m: int):
+        if m <= 0 or m % 2 == 0:
+            raise ValueError("modulus must be positive and odd")
+        self.m = m
+        self.nbits = m.bit_length()
+        self.L = num_limbs(self.nbits)
+        self.R = 1 << (LIMB_BITS * self.L)
+        self.R2 = self.R * self.R % m
+        self.Rinv = pow(self.R, -1, m)
+        self.mprime_int = (-pow(m, -1, 1 << LIMB_BITS)) & LIMB_MASK
+
+        self.m_limbs = jnp.asarray(int_to_limbs(m, self.L))
+        self.mprime = jnp.uint32(self.mprime_int)
+        self.r2_limbs = jnp.asarray(int_to_limbs(self.R2, self.L))
+        self.one_mont = jnp.asarray(int_to_limbs(self.R % m, self.L))
+        self.one = jnp.asarray(int_to_limbs(1, self.L))
+        self.zero = jnp.asarray(int_to_limbs(0, self.L))
+        self._fb_tables = {}
+
+    # -------------------------------------------------------- conversions
+
+    def to_mont(self, a):
+        return mont_mul(a, self.r2_limbs, self.m_limbs, self.mprime)
+
+    def from_mont(self, a):
+        return mont_mul(a, self.one, self.m_limbs, self.mprime)
+
+    def encode(self, xs) -> jnp.ndarray:
+        """Python ints -> Montgomery-form device limbs (N, L)."""
+        arr = jnp.asarray(ints_to_limbs(list(xs), self.L))
+        return self.to_mont(arr)
+
+    def encode_std(self, xs) -> jnp.ndarray:
+        """Python ints -> standard-form device limbs (N, L)."""
+        return jnp.asarray(ints_to_limbs(list(xs), self.L))
+
+    def decode(self, a) -> list:
+        """Montgomery-form limbs -> Python ints."""
+        from vmn_tpu.arith.limbs import limbs_to_ints
+
+        return limbs_to_ints(np.asarray(self.from_mont(a)))
+
+    def decode_std(self, a) -> list:
+        from vmn_tpu.arith.limbs import limbs_to_ints
+
+        return limbs_to_ints(np.asarray(a))
+
+    # --------------------------------------------------------- operations
+
+    def mul(self, a, b):
+        return mont_mul(a, b, self.m_limbs, self.mprime)
+
+    def add(self, a, b):
+        return add_mod(a, b, self.m_limbs)
+
+    def sub(self, a, b):
+        return sub_mod(a, b, self.m_limbs)
+
+    def neg(self, a):
+        return sub_mod(jnp.broadcast_to(self.zero, a.shape), a, self.m_limbs)
+
+    def exp(self, base, e, nbits: Optional[int] = None):
+        nbits = self.nbits if nbits is None else nbits
+        return mont_exp(
+            base, e, self.m_limbs, self.mprime, self.one_mont, nbits
+        )
+
+    def expprod(self, bases, e, nbits: Optional[int] = None):
+        nbits = self.nbits if nbits is None else nbits
+        return mont_expprod(
+            bases, e, self.m_limbs, self.mprime, self.one_mont, nbits
+        )
+
+    def prod(self, x, axis=0):
+        return prod_reduce(x, self.m_limbs, self.mprime, axis=axis)
+
+    def inv(self, a, order: Optional[int] = None):
+        """Inverse via Fermat: a^(m-2) (m prime), or a^(order-1)."""
+        e_int = (self.m - 2) if order is None else (order - 1)
+        e = jnp.asarray(int_to_limbs(e_int, num_limbs(e_int.bit_length())))
+        return self.exp(a, e, e_int.bit_length())
+
+    # -------------------------------------------------------- fixed base
+
+    def fixed_base_table(self, base_int: int, max_ebits: int, window: int = 8):
+        """Build (or fetch cached) shared fixed-base table for `base_int`."""
+        key = (base_int, max_ebits, window)
+        tbl = self._fb_tables.get(key)
+        if tbl is None:
+            J = (max_ebits + window - 1) // window
+            rows = np.empty((J, 1 << window, self.L), dtype=np.uint32)
+            R = self.R
+            m = self.m
+            gj = base_int % m
+            one_mont = R % m
+            for j in range(J):
+                rows[j, 0] = int_to_limbs(one_mont, self.L)
+                val = 1
+                for d in range(1, 1 << window):
+                    val = val * gj % m
+                    rows[j, d] = int_to_limbs(val * R % m, self.L)
+                gj = pow(gj, 1 << window, m)
+            tbl = jnp.asarray(rows)
+            self._fb_tables[key] = tbl
+        return tbl
+
+    def fixed_base_exp(self, base_int: int, e, ebits: int, window: int = 8):
+        """base^e for shared integer base, per-element exponents."""
+        table = self.fixed_base_table(base_int, ebits, window)
+        ndig = (ebits + window - 1) // window
+        return _fixed_base_exp(
+            table, e, self.m_limbs, self.mprime, self.one_mont, ndig, window
+        )
+
+    def __repr__(self):
+        return f"MontCtx(bits={self.nbits}, L={self.L})"

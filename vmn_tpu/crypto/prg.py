@@ -1,0 +1,81 @@
+"""Pseudo-random generators.
+
+PRGHeuristic matches the construction of VCR's
+com.verificatum.crypto.PRGHeuristic as documented in the public Verificatum
+verifier specification: with hash function H and a seed of exactly
+len(H-output) bytes, the output stream is
+
+    H(seed || be32(0)) || H(seed || be32(1)) || H(seed || be32(2)) || ...
+
+It is used to expand Fiat–Shamir seeds into batching vectors and
+independent generators (reference: PoSBasicTW.java:533-538 via
+LargeIntegerArray.random; IndependentGeneratorsRO.java:117-129).
+
+The *derivation of integers/group elements from the stream* lives with the
+consumers (arith layer), this module only produces the byte stream.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from vmn_tpu.crypto.hash import Hashfunction
+
+
+class PRG:
+    """Abstract PRG surface: seed with bytes, then read bytes."""
+
+    def set_seed(self, seed: bytes) -> None:
+        raise NotImplementedError
+
+    def read_bytes(self, n: int) -> bytes:
+        raise NotImplementedError
+
+    @property
+    def min_seed_bytes(self) -> int:
+        raise NotImplementedError
+
+
+class PRGHeuristic(PRG):
+    """Hash-function-based heuristic PRG (counter mode)."""
+
+    MARSHAL_NAME = "com.verificatum.crypto.PRGHeuristic"
+
+    def __init__(self, hashfunction: Hashfunction):
+        self.hashfunction = hashfunction
+        self._seed: bytes | None = None
+        self._counter = 0
+        self._buffer = b""
+
+    @property
+    def min_seed_bytes(self) -> int:
+        return self.hashfunction.output_bytes
+
+    def set_seed(self, seed: bytes) -> None:
+        if len(seed) < self.min_seed_bytes:
+            raise ValueError(
+                f"seed too short: {len(seed)} < {self.min_seed_bytes}"
+            )
+        # The reference consumes exactly the minimum number of seed bytes.
+        self._seed = bytes(seed[: self.min_seed_bytes])
+        self._counter = 0
+        self._buffer = b""
+
+    def read_bytes(self, n: int) -> bytes:
+        if self._seed is None:
+            raise ValueError("PRG not seeded")
+        chunks = [self._buffer]
+        have = len(self._buffer)
+        while have < n:
+            block = self.hashfunction.hash(
+                self._seed + struct.pack(">i", self._counter)
+            )
+            self._counter += 1
+            chunks.append(block)
+            have += len(block)
+        data = b"".join(chunks)
+        self._buffer = data[n:]
+        return data[:n]
+
+    def __repr__(self):
+        return f"PRGHeuristic({self.hashfunction.name})"
