@@ -1,0 +1,165 @@
+"""Group/field/ring layer tests on the small 256-bit safe-prime group."""
+
+import numpy as np
+import pytest
+
+from vmn_tpu.arith.pgroup import (
+    FArray,
+    ModPGroup,
+    Permutation,
+    PPGroup,
+    PPRing,
+)
+from vmn_tpu.crypto.prg import PRGHeuristic
+from vmn_tpu.crypto.hash import SHA256
+from vmn_tpu.crypto.randomsource import SeededSource
+
+
+@pytest.fixture(scope="module")
+def grp():
+    return ModPGroup.named("test256")
+
+
+@pytest.fixture()
+def rs():
+    return SeededSource(b"pgroup-tests")
+
+
+def test_generator_in_group(grp):
+    assert pow(grp.g_int, grp.q, grp.p) == 1
+    assert grp.g.is_in_group()
+
+
+def test_field_ops(grp, rs):
+    f = grp.ring
+    a = f.random((8,), rs, 32)
+    b = f.random((8,), rs, 32)
+    ai, bi = a.to_ints(), b.to_ints()
+    q = f.q
+    assert a.add(b).to_ints() == [(x + y) % q for x, y in zip(ai, bi)]
+    assert a.sub(b).to_ints() == [(x - y) % q for x, y in zip(ai, bi)]
+    assert a.mul(b).to_ints() == [(x * y) % q for x, y in zip(ai, bi)]
+    assert a.neg().to_ints() == [(-x) % q for x in ai]
+    assert a.sum().to_int() == sum(ai) % q
+    want_ip = sum(x * y for x, y in zip(ai, bi)) % q
+    assert a.inner_product(b).to_int() == want_ip
+    assert a.inv().to_ints() == [pow(x, -1, q) for x in ai]
+
+
+def test_field_prods_and_reclin(grp, rs):
+    f = grp.ring
+    q = f.q
+    b = f.random((7,), rs, 32)
+    e = f.random((7,), rs, 32)
+    bi, ei = b.to_ints(), e.to_ints()
+
+    # prods: cumulative products of e
+    got = e.prods().to_ints()
+    want, acc = [], 1
+    for x in ei:
+        acc = acc * x % q
+        want.append(acc)
+    assert got == want
+
+    # recLin: x_0 = b_0; x_i = x_{i-1} e_i + b_i
+    x, d = b.rec_lin(e)
+    want_x = [bi[0]]
+    for i in range(1, 7):
+        want_x.append((want_x[-1] * ei[i] + bi[i]) % q)
+    assert x.to_ints() == want_x
+    assert d.to_int() == want_x[-1]
+
+
+def test_group_ops(grp, rs):
+    p, q = grp.p, grp.q
+    prg = PRGHeuristic(SHA256)
+    prg.set_seed(b"\x01" * 32)
+    h = grp.random_array(6, prg, 20)
+    assert h.is_in_group()
+    hi = h.to_ints()
+    assert len(set(hi)) == 6
+
+    e = grp.ring.random((6,), rs, 32)
+    ei = e.to_ints()
+    assert h.exp(e).to_ints() == [pow(x, y, p) for x, y in zip(hi, ei)]
+
+    want = 1
+    for x, y in zip(hi, ei):
+        want = want * pow(x, y, p) % p
+    assert h.exp_prod(e).to_ints() == [want]
+
+    prodv = 1
+    for x in hi:
+        prodv = prodv * x % p
+    assert h.prod().to_ints() == [prodv]
+
+    assert h.mul(h).to_ints() == [x * x % p for x in hi]
+    assert h.inv().to_ints() == [pow(x, -1, p) for x in hi]
+    assert h.div(h).to_ints() == [1] * 6
+
+
+def test_permute_roundtrip(grp, rs):
+    prg = PRGHeuristic(SHA256)
+    prg.set_seed(b"\x02" * 32)
+    h = grp.random_array(10, prg, 20)
+    pi = Permutation.random(10, rs)
+    hp = h.permute(pi)
+    # out[i] = in[pi[i]]
+    assert hp.to_ints() == [h.to_ints()[pi.tbl[i]] for i in range(10)]
+    assert hp.permute(pi.inv()).equals(h)
+    assert np.array_equal(pi.inv().inv().tbl, pi.tbl)
+
+
+def test_shift_push(grp, rs):
+    prg = PRGHeuristic(SHA256)
+    prg.set_seed(b"\x03" * 32)
+    h = grp.random_array(5, prg, 20)
+    s = h.shift_push(grp.g)
+    assert s.to_ints() == [grp.g_int % grp.p] + h.to_ints()[:-1]
+
+
+def test_elem_bytetree_roundtrip(grp):
+    prg = PRGHeuristic(SHA256)
+    prg.set_seed(b"\x04" * 32)
+    h = grp.random_array(4, prg, 20)
+    bt = h.to_bytetree()
+    assert len(bt.children) == 4
+    assert all(len(c.data) == grp.bytelen for c in bt.children)
+    back = grp.elem_from_bytetree(bt, 4)
+    assert back.equals(h)
+    # scalar
+    g2 = grp.elem_from_bytetree(grp.g.to_bytetree())
+    assert g2.equals(grp.g)
+
+
+def test_group_bytetree_roundtrip(grp):
+    bt = grp.to_bytetree()
+    back = ModPGroup.from_bytetree(bt)
+    assert back.p == grp.p and back.q == grp.q and back.g_int == grp.g_int
+
+
+def test_product_group(grp, rs):
+    pp = PPGroup(grp, 3)
+    prg = PRGHeuristic(SHA256)
+    prg.set_seed(b"\x05" * 32)
+    x = pp.random_array(4, prg, 20)
+    e_shared = grp.ring.random((4,), rs, 32)
+    y = x.exp(e_shared)
+    for c in range(3):
+        assert y.project(c).equals(x.project(c).exp(e_shared))
+    # componentwise exponent
+    e_pp = pp.ring.random((4,), rs, 32)
+    z = x.exp(e_pp)
+    for c in range(3):
+        assert z.project(c).equals(x.project(c).exp(e_pp.project(c)))
+    # byte-tree round-trip
+    bt = x.to_bytetree()
+    back = pp.elem_from_bytetree(bt, 4)
+    assert back.equals(x)
+
+
+def test_message_encoding(grp):
+    for msg in (b"", b"hello world", b"x" * (grp.nbits // 8 - 4)):
+        m = grp.encode_message(msg)
+        assert pow(m, grp.q, grp.p) == 1
+        assert grp.decode_message(m) == msg

@@ -518,17 +518,15 @@ class ModPGroup:
         return self.p - m
 
     def decode_message(self, x: int) -> bytes:
+        mlen = self.nbits // 8 - 4
         for cand in (x, self.p - x):
             m = cand - 1
-            mlen = self.nbits // 8 - 4
-            try:
-                raw = m.to_bytes(mlen + 4, "big")
-            except OverflowError:
+            if not 0 <= m < 1 << (8 * (mlen + 4)):
                 continue
+            raw = m.to_bytes(mlen + 4, "big")
             n = int.from_bytes(raw[:4], "big")
             if n <= mlen:
-                if cand == x or pow(x, self.q, self.p) != 1:
-                    return raw[4 : 4 + n]
+                return raw[4 : 4 + n]
         # mirror reference behavior: undecodable -> empty
         return b""
 
@@ -648,8 +646,6 @@ class GArray:
 
     def is_in_group(self) -> bool:
         """Batch subgroup-membership check: x^q == 1 for all elements."""
-        e = self.grp.ring.from_int(self.grp.q % self.grp.ring.q)  # placeholder
-        # exponent q itself (full bit length)
         qL = num_limbs(self.grp.q.bit_length())
         eq = jnp.asarray(int_to_limbs(self.grp.q, qL))
         powed = self.grp.ctx.exp(
@@ -697,6 +693,11 @@ class PPGroup:
     @property
     def ring(self) -> "PPRing":
         return PPRing(*[f.ring for f in self.factors])
+
+    @property
+    def g(self) -> "PPArray":
+        """Standard generator: product of component generators."""
+        return PPArray(self, tuple(f.g for f in self.factors))
 
     def one(self, shape=()) -> "PPArray":
         return PPArray(self, tuple(f.one(shape) for f in self.factors))

@@ -1,0 +1,176 @@
+"""Distributed key generation for threshold El Gamal.
+
+Rebuild of the reference DKG (reference: DKG.java:141-215): the first
+`threshold` parties each deal a random secret through verifiable secret
+sharing with a public commitment polynomial "in the exponent"; the
+instances are collapsed (summed) into one joint key:
+
+    joint secret      x    = sum_{l<=t} x_l          (never materialized)
+    share of party i  x_i  = sum_{l<=t} P_l(i) = P(i),  deg P = t-1
+    public polynomial g^P  = elementwise product of dealt polynomials
+    joint public key  y    = g^P(0)
+
+Shares travel over the bulletin board encrypted to the receiver's
+CCA2 public key (reference: Pedersen.java dealSecret:355 encrypts with
+the pkeys from PlainKeys).  The cipher is pluggable: the in-process
+demo harness uses the identity cipher, the distributed runtime plugs
+Naor–Yung (vmn_tpu.crypto.nao​r_yung).
+
+Publishes per-party `PolynomialInExponent` byte trees and checks each
+received share against the dealt polynomial (Feldman verification
+g^{s_{l->i}} == prod_m c_{l,m}^{i^m}); a bad share raises (complaint
+resolution — reference Pedersen.java:820-1122 — is handled at the
+session layer).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from vmn_tpu.arith.pgroup import FArray, GArray
+from vmn_tpu.eio.bytetree import ByteTree, node
+from vmn_tpu.protocol.com.board import BulletinBoard
+
+
+class DKGError(Exception):
+    pass
+
+
+class IdentityCipher:
+    """Share 'encryption' for the local simulation harness."""
+
+    def encrypt(self, to_party: int, data: bytes) -> bytes:
+        return data
+
+    def decrypt(self, data: bytes) -> bytes:
+        return data
+
+
+class DKGResult:
+    def __init__(self, group, secret_share: FArray, poly_in_exp: GArray,
+                 k: int):
+        self.group = group
+        self.secret_share = secret_share  # x_j = P(j)
+        self.poly_in_exp = poly_in_exp  # (t, L) coefficients g^{c_m}
+        self.k = k
+
+    @property
+    def threshold(self) -> int:
+        return self.poly_in_exp.size
+
+    @property
+    def joint_public_key(self) -> GArray:
+        """y = g^{P(0)} = first coefficient."""
+        return self.poly_in_exp.get(0)
+
+    def public_key_of(self, i: int) -> GArray:
+        """y_i = g^{P(i)} = prod_m c_m^{i^m}
+        (reference: PolynomialInExponent.evaluate)."""
+        return evaluate_poly_in_exp(self.poly_in_exp, i)
+
+    def poly_bytetree(self) -> ByteTree:
+        """node(c_0, ..., c_{t-1})
+        (reference: PolynomialInExponent.toByteTree:189-191)."""
+        return self.poly_in_exp.to_bytetree()
+
+
+def evaluate_poly_in_exp(coeffs: GArray, i: int) -> GArray:
+    """prod_m c_m^{i^m} for scalar index i."""
+    grp = coeffs.grp
+    t = coeffs.size
+    ring = grp.ring
+    powers = []
+    acc = 1
+    for _ in range(t):
+        powers.append(acc)
+        acc = acc * i
+    e = ring.from_ints(powers)
+    return coeffs.exp_prod(e)
+
+
+def run_dkg(
+    ctx,
+    board: BulletinBoard,
+    randomsource,
+    cipher: Optional[object] = None,
+) -> DKGResult:
+    """Run DKG as party `board.j` among `board.k` parties with threshold
+    ctx.par.threshold.  Returns this party's share and the joint
+    polynomial in exponent."""
+    cipher = cipher or IdentityCipher()
+    group = ctx.key_group()
+    j = board.j
+    k = board.k
+    t = ctx.par.threshold
+    b = board.scope("dkg")
+
+    # --- Deal: first t parties deal a secret ---------------------------
+    my_coeffs = None
+    if j <= t:
+        my_coeffs = group.ring.random((t,), randomsource, ctx.rbitlen)
+        poly = _g_exp(group, my_coeffs)
+        b.publish("Polynomial", poly.to_bytetree().to_bytes())
+        # shares s_{j->i} = P_j(i)
+        for i in range(1, k + 1):
+            s = _eval_poly(my_coeffs, i)
+            data = s.to_bytetree().to_bytes()
+            b.publish(f"Share{i:02d}", cipher.encrypt(i, data))
+
+    # --- Receive: collect polynomials and own shares -------------------
+    polys: List[GArray] = []
+    share_sum = group.ring.zeros(())
+    for l in range(1, t + 1):
+        if l == j:
+            poly_l = _g_exp(group, my_coeffs)
+            s_l = _eval_poly(my_coeffs, j)
+        else:
+            poly_bt = ByteTree.from_bytes(b.wait_for(l, "Polynomial"))
+            poly_l = group.elem_from_bytetree(poly_bt, t)
+            raw = cipher.decrypt(b.wait_for(l, f"Share{j:02d}"))
+            s_l = group.ring.from_bytetree(ByteTree.from_bytes(raw))
+            # Feldman check: g^{s} == prod_m c_{l,m}^{j^m}
+            if not _g_exp_scalar(group, s_l).equals(
+                evaluate_poly_in_exp(poly_l, j)
+            ):
+                raise DKGError(f"invalid share from party {l}")
+        polys.append(poly_l)
+        share_sum = share_sum.add(s_l)
+
+    # --- Collapse (reference: DKG.java:177-186) ------------------------
+    joint = polys[0]
+    for p in polys[1:]:
+        joint = joint.mul(p)
+
+    return DKGResult(group, share_sum, joint, k)
+
+
+def _eval_poly(coeffs: FArray, i: int) -> FArray:
+    """P(i) = sum_m coeffs_m i^m in the exponent ring."""
+    ring = coeffs.field if isinstance(coeffs, FArray) else coeffs.parent
+    t = coeffs.limbs.shape[0] if isinstance(coeffs, FArray) else coeffs.size
+    acc = None
+    power = 1
+    for m in range(t):
+        term = coeffs.get(m).mul(_ring_const(coeffs, power))
+        acc = term if acc is None else acc.add(term)
+        power = power * i
+    return acc
+
+
+def _ring_const(like, value: int):
+    if isinstance(like, FArray):
+        return like.field.from_int(value)
+    from vmn_tpu.arith.pgroup import PPFArray
+
+    return PPFArray(
+        like.parent,
+        tuple(_ring_const(c, value) for c in like.components),
+    )
+
+
+def _g_exp(group, exps):
+    """g^{e} for the group's standard generator."""
+    return group.g.exp(exps)
+
+
+_g_exp_scalar = _g_exp

@@ -1,0 +1,328 @@
+"""Terelius–Wikström proof of a shuffle — the mathematical heart.
+
+Batched TPU rebuild of the reference's PoSBasicTW + PoSTW
+(reference: PoSBasicTW.java:66 — commitment/reply machinery;
+PoSTW.java:94-272 — Fiat–Shamir plumbing and transcript layout).
+
+Statement: for public (g, h, u, pk, w, w') the prover knows (pi, r, s)
+with u_i = g^{r_{pi(i)}} h_{pi(i)} and w'_i = w_{pi^{-1}(i)} Enc_pk(1,
+s_{pi^{-1}(i)}).
+
+All array math is a handful of fused batched device ops per phase:
+  prover commit:  recLin scan + prods scan + 4 batched fixed-base exps +
+                  2 multi-exps;
+  verifier:       2 multi-exps (A, F — computable concurrently with the
+                  prover, reference PoSTW.java:219-223) + 3 batched exps.
+
+Permutation convention: `x.permute(pi)` yields out[i] = x[pi[i]] — with
+u = (g^r h).permute(pi) and ipe = e.permute(pi.inv()), matching the
+reference's equations (see PoSBasicTW.java:444,553).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+from vmn_tpu.arith.pgroup import FArray, GArray, Permutation
+from vmn_tpu.eio.bytetree import ByteTree, ByteTreeError, leaf, node
+
+
+@dataclass
+class PoSParams:
+    """Security parameters (reference: PoSBasicTW ctor)."""
+
+    vbitlen: int  # challenge bits
+    ebitlen: int  # batching-vector component bits
+    rbitlen: int  # statistical distance
+    prg: object  # PRG instance for batching-vector expansion
+
+
+class PoSProver:
+    """Prover state machine: precompute -> commit(seed) -> reply(v)."""
+
+    def __init__(self, params: PoSParams, randomsource):
+        self.par = params
+        self.rs = randomsource
+
+    # -------------------------------------------------- precompute
+
+    def precompute(self, g: GArray, h: GArray, pi: Permutation):
+        """Permutation commitment u and the A'-blinder
+        (reference: PoSBasicTW.java:436-482)."""
+        self.g = g
+        self.h = h
+        self.pi = pi
+        self.size = h.size
+        grp = g.grp
+        ring = grp.ring
+
+        # u_i = g^{r_{pi(i)}} h_{pi(i)}
+        self.r = ring.random((self.size,), self.rs, self.par.rbitlen)
+        self.u = h.mul(g.exp(self.r)).permute(pi)
+
+        self.alpha = ring.random((), self.rs, self.par.rbitlen)
+        ebl = self.par.ebitlen + self.par.vbitlen + self.par.rbitlen
+        # epsilon: random (ebitlen+vbitlen+rbitlen)-bit integers as field
+        # elements (reference: PoSBasicTW.java:470-474)
+        self.epsilon = _random_bits_field(
+            ring, self.size, ebl, self.rs
+        )
+        self.Ap = g.exp(self.alpha).mul(h.exp_prod(self.epsilon))
+
+    # ------------------------------------------------------ instance
+
+    def set_instance(self, pkey, w, wp, s):
+        """pkey: wide public key as ciphertext-group element ((g..),(y..));
+        w, wp: ciphertext arrays; s: re-encryption exponents (plain-ring
+        array, unpermuted order)."""
+        self.pkey = pkey
+        self.w = w
+        self.wp = wp
+        self.s = s
+
+    # -------------------------------------------------------- commit
+
+    def commit(self, prg_seed: bytes) -> ByteTree:
+        """Bridging commitments and blinders
+        (reference: PoSBasicTW.commit :546-700)."""
+        par = self.par
+        grp = self.g.grp
+        ring = grp.ring
+        n = self.size
+
+        self.e = _batch_vector(ring, n, par.ebitlen, par.prg, prg_seed)
+        self.ipe = self.e.permute(self.pi.inv())
+
+        h0 = self.h.get(0)
+
+        # b random; x = recLin(b, ipe); y = prods(ipe)
+        self.b = ring.random((n,), self.rs, par.rbitlen)
+        x, self.d = self.b.rec_lin(self.ipe)
+        y = self.ipe.prods()
+
+        # B_i = g^{x_i} h0^{y_i}
+        self.B = self.g.exp(x).mul(h0.broadcast(n).exp(y))
+
+        # blinders: B'_i = g^{beta_i + xp_i eps_i} h0^{yp_i eps_i}
+        self.beta = ring.random((n,), self.rs, par.rbitlen)
+        xp = x.shift_push(ring.zeros(()))
+        yp = y.shift_push(ring.ones(()))
+        self.Bp = self.g.exp(self.beta.add(xp.mul(self.epsilon))).mul(
+            h0.broadcast(n).exp(yp.mul(self.epsilon))
+        )
+
+        self.gamma = ring.random((), self.rs, par.rbitlen)
+        self.Cp = self.g.exp(self.gamma)
+        self.delta = ring.random((), self.rs, par.rbitlen)
+        self.Dp = self.g.exp(self.delta)
+
+        # F' = pk^{-phi} prod wp_i^{eps_i}   (phi in the plain ring)
+        self.phi = _plain_ring(self.pkey).random((), self.rs, par.rbitlen)
+        self.Fp = self.pkey.exp(self.phi.neg()).mul(
+            self.wp.exp_prod(self.epsilon)
+        )
+
+        return node(
+            self.B.to_bytetree(),
+            self.Ap.to_bytetree(),
+            self.Bp.to_bytetree(),
+            self.Cp.to_bytetree(),
+            self.Dp.to_bytetree(),
+            self.Fp.to_bytetree(),
+        )
+
+    # --------------------------------------------------------- reply
+
+    def reply(self, v_int: int) -> ByteTree:
+        """k_X = x*v + blinder (reference: PoSBasicTW.reply :856-888)."""
+        ring = self.g.grp.ring
+        v = ring.from_int(v_int)
+
+        a = self.r.inner_product(self.ipe)
+        c = self.r.sum()
+        f = self.s.inner_product(self.e)
+
+        k_A = a.mul_add(v, self.alpha)
+        k_B = self.b.mul_add(v, self.beta)
+        k_C = c.mul_add(v, self.gamma)
+        k_D = self.d.mul_add(v, self.delta)
+        k_E = self.ipe.mul_add(v, self.epsilon)
+        k_F = f.mul_add(v, self.phi)
+
+        return node(
+            k_A.to_bytetree(),
+            k_B.to_bytetree(),
+            k_C.to_bytetree(),
+            k_D.to_bytetree(),
+            k_E.to_bytetree(),
+            k_F.to_bytetree(),
+        )
+
+
+class PoSVerifier:
+    """Verifier: precompute -> set_instance -> set u -> batch -> verify
+    (reference: PoSBasicTW verifier methods + PoSTW.verify)."""
+
+    def __init__(self, params: PoSParams):
+        self.par = params
+
+    def precompute(self, g: GArray, h: GArray):
+        self.g = g
+        self.h = h
+        self.size = h.size
+
+    def set_instance(self, pkey, w, wp):
+        self.pkey = pkey
+        self.w = w
+        self.wp = wp
+
+    def set_permutation_commitment(self, bt: Optional[ByteTree]) -> GArray:
+        """Parse u; malformed -> trivial identity commitment u = h
+        (reference: PoSBasicTW.setPermutationCommitment :505-514)."""
+        grp = self.g.grp
+        try:
+            if bt is None:
+                raise ByteTreeError("missing")
+            self.u = grp.elem_from_bytetree(bt, self.size)
+        except (ByteTreeError, ValueError):
+            self.u = self.h.copy_of_range(0, self.size)
+        return self.u
+
+    def set_batch_vector(self, prg_seed: bytes):
+        ring = self.g.grp.ring
+        self.e = _batch_vector(
+            ring, self.size, self.par.ebitlen, self.par.prg, prg_seed
+        )
+
+    def compute_AF(self):
+        """A = prod u^e, F = prod w^e — can overlap with the prover's
+        commit phase (reference: PoSBasicTW.computeAF :407-410)."""
+        self.A = self.u.exp_prod(self.e, self.par.ebitlen)
+        self.F = self.w.exp_prod(self.e, self.par.ebitlen)
+
+    def set_commitment(self, bt: Optional[ByteTree]) -> ByteTree:
+        """Parse (B, Ap, Bp, Cp, Dp, Fp); malformed -> all-ones
+        (reference: PoSBasicTW.setCommitment :780-823)."""
+        grp = self.g.grp
+        ciph = _ciph_group_of(self.pkey)
+        n = self.size
+        try:
+            if bt is None or bt.is_leaf or len(bt.children) != 6:
+                raise ByteTreeError("malformed commitment")
+            self.B = grp.elem_from_bytetree(bt[0], n)
+            self.Ap = grp.elem_from_bytetree(bt[1])
+            self.Bp = grp.elem_from_bytetree(bt[2], n)
+            self.Cp = grp.elem_from_bytetree(bt[3])
+            self.Dp = grp.elem_from_bytetree(bt[4])
+            self.Fp = ciph.elem_from_bytetree(bt[5])
+        except (ByteTreeError, ValueError):
+            self.B = grp.one((n,))
+            self.Ap = grp.one()
+            self.Bp = grp.one((n,))
+            self.Cp = grp.one()
+            self.Dp = grp.one()
+            self.Fp = ciph.one()
+        return node(
+            self.B.to_bytetree(),
+            self.Ap.to_bytetree(),
+            self.Bp.to_bytetree(),
+            self.Cp.to_bytetree(),
+            self.Dp.to_bytetree(),
+            self.Fp.to_bytetree(),
+        )
+
+    def verify(self, reply_bt: ByteTree, v_int: int) -> bool:
+        """The five verification equations
+        (reference: PoSBasicTW.verify :1000-1066)."""
+        grp = self.g.grp
+        ring = grp.ring
+        n = self.size
+        try:
+            if reply_bt.is_leaf or len(reply_bt.children) != 6:
+                raise ByteTreeError("malformed reply")
+            k_A = ring.from_bytetree(reply_bt[0])
+            k_B = ring.from_bytetree(reply_bt[1], n)
+            k_C = ring.from_bytetree(reply_bt[2])
+            k_D = ring.from_bytetree(reply_bt[3])
+            k_E = ring.from_bytetree(reply_bt[4], n)
+            k_F = _plain_ring(self.pkey).from_bytetree(reply_bt[5])
+        except (ByteTreeError, ValueError):
+            return False
+
+        v = ring.from_int(v_int)
+        h0 = self.h.get(0)
+
+        C = self.u.prod().div(self.h.prod())
+        D = self.B.get(n - 1).div(h0.exp(self.e.prod()))
+
+        # A: A^v Ap == g^{k_A} prod h^{k_E}
+        ok_a = self.A.exp_mul(v, self.Ap).equals(
+            self.g.exp(k_A).mul(self.h.exp_prod(k_E))
+        )
+
+        # B: B^v Bp == g^{k_B} Bshift^{k_E}
+        lhs = self.B.exp(v).mul(self.Bp)
+        bshift = self.B.shift_push(h0)
+        rhs = self.g.exp(k_B).mul(bshift.exp(k_E))
+        ok_b = lhs.equals(rhs)
+
+        # C, D
+        ok_c = C.exp_mul(v, self.Cp).equals(self.g.exp(k_C))
+        ok_d = D.exp_mul(v, self.Dp).equals(self.g.exp(k_D))
+
+        # F: F^v Fp == pk^{-k_F} prod wp^{k_E}
+        ok_f = self.F.exp_mul(v, self.Fp).equals(
+            self.pkey.exp(k_F.neg()).mul(self.wp.exp_prod(k_E))
+        )
+
+        return ok_a and ok_b and ok_c and ok_d and ok_f
+
+
+# ---------------------------------------------------------------- helpers
+
+
+def _random_bits_field(ring, n, bits, randomsource):
+    """n uniform `bits`-bit integers as field elements (mod q)."""
+    xs = [randomsource.random_int(bits) for _ in range(n)]
+    return ring.from_ints(xs)
+
+
+def _batch_vector(ring, n, ebitlen, prg, seed: bytes):
+    """Batching vector e from a PRG seed
+    (reference: PoSBasicTW.setBatchVector :533-538)."""
+    prg.set_seed(seed)
+    return ring.random_bits_prg(n, ebitlen, prg)
+
+
+def _plain_ring(pkey):
+    """The ring of the plaintext group: pkey = ((g..),(y..)) in
+    PPGroup(plain, 2); its first component's group ring
+    (reference: PoSBasicTW.java:687 pkey.project(0).getPGroup().getPRing())."""
+    comp = pkey.project(0)
+    if isinstance(comp, GArray):
+        return comp.grp.ring
+    return comp.parent.ring
+
+
+def _ciph_group_of(pkey):
+    """The group that Fp lives in = pkey's own (ciphertext) group."""
+    return pkey.parent
+
+
+def pos_seed_data(g, h, u, pkey, w, wp) -> ByteTree:
+    """Challenge data for the batching seed
+    (reference: PoSTW.java:118-124)."""
+    return node(
+        g.to_bytetree(),
+        h.to_bytetree(),
+        u.to_bytetree(),
+        pkey.to_bytetree(),
+        w.to_bytetree(),
+        wp.to_bytetree(),
+    )
+
+
+def pos_challenge_data(prg_seed: bytes, commitment_bt: ByteTree) -> ByteTree:
+    """Challenge data for v (reference: PoSTW.java:146-147)."""
+    return node(leaf(prg_seed), commitment_bt)

@@ -1,0 +1,604 @@
+"""A mix-server: key generation, shuffling, decryption, proof export.
+
+Rebuild of the reference's MixNetElGamal / MixNetElGamalSession /
+ShufflerElGamalSession / DistrElGamalSession call chain
+(reference: SURVEY.md §3.2) against the bulletin-board abstraction.
+Each party runs this code; the test/demo harness runs k instances over
+an in-memory board (threads), the distributed runtime over signed HTTP.
+
+The heavy work — re-encryption, permutation, proof commitments,
+multi-exponentiations — happens in batched device ops through the
+arith layer; this module is orchestration + transcript I/O.
+
+Proof-directory layout (reference: MixNetElGamalSession.java:381-446,
+PoSTW.java:281-307, DistrElGamalSession.java:540-601):
+
+    nizkp/
+      version auxsid type width
+      FullPublicKey.bt
+      Ciphertexts.bt ShuffledCiphertexts.bt Plaintexts.bt
+      proofs/
+        activethreshold
+        PolynomialInExponent.bt
+        Ciphertexts{l:02d}.bt            (intermediate shuffle outputs)
+        PermutationCommitment{l:02d}.bt
+        PoSCommitment{l:02d}.bt  PoSReply{l:02d}.bt
+        DecryptionFactors{l:02d}.bt
+        DecrFactCommitment{l:02d}.bt  DecrFactReply{l:02d}.bt
+        CorrectIndices.bt
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List, Optional
+
+from vmn_tpu import VCR_COMPAT_VERSION
+from vmn_tpu.arith.pgroup import FArray, GArray, Permutation, PPArray, PPGroup
+from vmn_tpu.eio.bytetree import ByteTree, ByteTreeError, leaf, node
+from vmn_tpu.protocol import elgamal
+from vmn_tpu.protocol.com.board import BulletinBoard
+from vmn_tpu.protocol.context import ProtocolContext, ProtocolParams
+from vmn_tpu.protocol.distr import dkg as dkg_mod
+from vmn_tpu.protocol.hvzk.pos_tw import (
+    PoSParams,
+    PoSProver,
+    PoSVerifier,
+    pos_challenge_data,
+    pos_seed_data,
+)
+
+
+class ProtocolError(Exception):
+    pass
+
+
+def _write(path: Path, data) -> None:
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if isinstance(data, str):
+        path.write_text(data)
+    else:
+        path.write_bytes(data)
+
+
+class MixNetParty:
+    """One mix-server (reference: MixNetElGamal.java:46)."""
+
+    def __init__(
+        self,
+        params: ProtocolParams,
+        board: BulletinBoard,
+        randomsource,
+        directory: Optional[str] = None,
+        cipher=None,
+    ):
+        self.par = params
+        self.ctx = ProtocolContext(params)
+        self.board = board
+        self.j = board.j
+        self.k = board.k
+        self.rs = randomsource
+        self.directory = Path(directory) if directory else None
+        self.cipher = cipher
+        self.dkg: Optional[dkg_mod.DKGResult] = None
+        self.active = [True] * (self.k + 1)  # 1-based; [0] unused
+
+    # ------------------------------------------------------------ keygen
+
+    def keygen(self) -> "elgamal.ElGamalPublicKey":
+        """Run DKG; returns the full public key (g, y)
+        (reference: MixNetElGamal.generatePublicKey:195-209)."""
+        self.dkg = dkg_mod.run_dkg(self.ctx, self.board, self.rs, self.cipher)
+        return self.full_public_key()
+
+    def full_public_key(self) -> "elgamal.ElGamalPublicKey":
+        g = self.ctx.key_group().g
+        return elgamal.ElGamalPublicKey(g, self.dkg.joint_public_key)
+
+    # ------------------------------------------------------ active set
+
+    def set_active(self, active: List[bool]) -> None:
+        """Reference: MixNetElGamalTool -sact (SURVEY.md §2.5 elasticity)."""
+        self.active = list(active)
+
+    def active_threshold(self) -> int:
+        """Smallest index L such that parties 1..L include `threshold`
+        active ones (reference: ProtocolBBT.getActiveThreshold)."""
+        t = 0
+        for l in range(1, self.k + 1):
+            if self.active[l]:
+                t += 1
+                if t == self.par.threshold:
+                    return l
+        raise ProtocolError("fewer than threshold active parties")
+
+    # ----------------------------------------------------------- session
+
+    def session(self, auxsid: str, width: int) -> "MixSession":
+        nizkp = None
+        if self.directory is not None:
+            nizkp = self.directory / f"nizkp.{auxsid}"
+        return MixSession(self, auxsid, width, nizkp)
+
+
+class MixSession:
+    """One mixing session (reference: MixNetElGamalSession.java:48)."""
+
+    def __init__(self, party: MixNetParty, auxsid: str, width: int,
+                 nizkp: Optional[Path]):
+        self.party = party
+        self.auxsid = auxsid
+        self.width = width
+        self.ctx = party.ctx.session(auxsid)
+        self.board = party.board.scope(f"session.{auxsid}")
+        self.nizkp = nizkp
+        self.proofs = nizkp / "proofs" if nizkp else None
+        if nizkp is not None:
+            _write(nizkp / "version", VCR_COMPAT_VERSION)
+            _write(nizkp / "auxsid", auxsid)
+            _write(nizkp / "width", str(width))
+
+    # ----------------------------------------------------------- helpers
+
+    @property
+    def j(self) -> int:
+        return self.party.j
+
+    @property
+    def k(self) -> int:
+        return self.party.k
+
+    def _pf(self, name: str, l: Optional[int] = None) -> Optional[Path]:
+        if self.proofs is None:
+            return None
+        if l is None:
+            return self.proofs / name
+        return self.proofs / f"{name}{l:02d}.bt"
+
+    def _export(self, path: Optional[Path], bt: ByteTree) -> None:
+        if path is not None:
+            _write(path, bt.to_bytes())
+
+    def _wide_pk(self):
+        """Wide public key as a ciphertext-group element."""
+        pk = self.party.full_public_key().widen(self.width)
+        return pk.as_ciph_elem()
+
+    def _ciph_group(self) -> PPGroup:
+        return self.ctx.ciph_group(self.width)
+
+    # ----------------------------------------------------------- shuffle
+
+    def shuffle(self, ciphertexts: PPArray, write_type: bool = True
+                ) -> PPArray:
+        """Online shuffle chain without precomputation
+        (reference: ShufflerElGamalSession.shuffle:362-433 +
+        performShuffling:250-352)."""
+        party = self.party
+        ctx = self.ctx
+        n = ciphertexts.size
+        width = self.width
+        b = self.board.scope("shuffle")
+
+        if self.nizkp is not None and write_type:
+            _write(self.nizkp / "type", "shuffling")
+        if self.nizkp is not None:
+            _write(self.nizkp / "FullPublicKey.bt",
+                   party.full_public_key().to_bytetree().to_bytes())
+            _write(self.nizkp / "Ciphertexts.bt",
+                   ciphertexts.to_bytetree().to_bytes())
+
+        wide_pk_elem = self._wide_pk()
+        plain_ring = _plain_ring_of(ctx, width)
+
+        # Independent generators (reference: sid "generators").
+        generators = ctx.independent_generators("generators", n)
+        g = ctx.pgroup.g
+
+        active_threshold = party.active_threshold()
+        if self.proofs is not None:
+            _write(self.proofs / "activethreshold", str(active_threshold))
+
+        pos_par = PoSParams(ctx.vbitlen, ctx.ebitlen, ctx.rbitlen, ctx.prg)
+
+        # Local precomputation (own permutation commitment).
+        prover = None
+        permutation = None
+        reenc_exponents = None
+        reenc_factors = None
+        if self.j <= active_threshold and party.active[self.j]:
+            reenc_exponents = plain_ring.random((n,), party.rs, ctx.rbitlen)
+            wide_pk = party.full_public_key().widen(width)
+            reenc_factors = elgamal.reencryption_factors(
+                wide_pk, reenc_exponents
+            )
+            permutation = Permutation.random(n, party.rs)
+            prover = PoSProver(pos_par, party.rs)
+            prover.precompute(g, generators, permutation)
+
+        # Sequential chain over parties.
+        inp = ciphertexts
+        valid_proofs = 0
+        for l in range(1, active_threshold + 1):
+            if not party.active[l]:
+                continue
+            if l == self.j:
+                out = inp.mul(reenc_factors).permute(permutation.inv())
+                b.publish(f"Ciphertext{l}", out.to_bytetree().to_bytes())
+                self._prove_pos(
+                    b, l, prover, wide_pk_elem, inp, out, reenc_exponents
+                )
+                valid_proofs += 1
+            else:
+                out_bt = ByteTree.from_bytes(b.wait_for(l, f"Ciphertext{l}"))
+                try:
+                    out = self._ciph_group().elem_from_bytetree(out_bt, n)
+                except (ByteTreeError, ValueError):
+                    out = inp.copy_of_range(0, n)
+                ok = self._verify_pos(
+                    b, l, pos_par, g, generators, wide_pk_elem, inp, out
+                )
+                if ok:
+                    valid_proofs += 1
+                else:
+                    out = inp.copy_of_range(0, n)
+            # Export this party's output list.
+            if self.nizkp is not None:
+                if l == active_threshold:
+                    _write(self.nizkp / "ShuffledCiphertexts.bt",
+                           out.to_bytetree().to_bytes())
+                else:
+                    self._export(self._pf("Ciphertexts", l),
+                                 out.to_bytetree())
+            inp = out
+
+        if valid_proofs < self.party.par.threshold:
+            raise ProtocolError(
+                f"too few valid proofs ({valid_proofs})"
+            )
+        return inp
+
+    def _prove_pos(self, b, l, prover, pkey, w, wp, s):
+        """Fiat–Shamir PoS prover side (reference: PoSTW.prove:94-165)."""
+        ctx = self.ctx
+        prover.set_instance(pkey, w, wp, s)
+        u_bt = prover.u.to_bytetree()
+        b.publish(f"PermutationCommitment{l}", u_bt.to_bytes())
+        self._export(self._pf("PermutationCommitment", l), u_bt)
+
+        seed = ctx.challenger.challenge(
+            pos_seed_data(prover.g, prover.h, prover.u, pkey, w, wp),
+            8 * ctx.prg.min_seed_bytes,
+            ctx.rbitlen,
+        )
+        commitment = prover.commit(seed)
+        self._export(self._pf("PoSCommitment", l), commitment)
+        b.publish(f"PoSCommitment{l}", commitment.to_bytes())
+
+        v_bytes = ctx.challenger.challenge(
+            pos_challenge_data(seed, commitment), ctx.vbitlen, ctx.rbitlen
+        )
+        v = int.from_bytes(v_bytes, "big")
+        reply = prover.reply(v)
+        self._export(self._pf("PoSReply", l), reply)
+        b.publish(f"PoSReply{l}", reply.to_bytes())
+
+    def _verify_pos(self, b, l, pos_par, g, generators, pkey, w, wp) -> bool:
+        """Fiat–Shamir PoS verifier side (reference: PoSTW.verify:176-272)."""
+        ctx = self.ctx
+        V = PoSVerifier(pos_par)
+        V.precompute(g, generators)
+        V.set_instance(pkey, w, wp)
+
+        u_bt = ByteTree.from_bytes(b.wait_for(l, f"PermutationCommitment{l}"))
+        V.set_permutation_commitment(u_bt)
+        self._export(self._pf("PermutationCommitment", l), V.u.to_bytetree())
+
+        seed = ctx.challenger.challenge(
+            pos_seed_data(g, generators, V.u, pkey, w, wp),
+            8 * ctx.prg.min_seed_bytes,
+            ctx.rbitlen,
+        )
+        V.set_batch_vector(seed)
+        V.compute_AF()
+
+        com_bt = ByteTree.from_bytes(b.wait_for(l, f"PoSCommitment{l}"))
+        commitment = V.set_commitment(com_bt)
+        self._export(self._pf("PoSCommitment", l), commitment)
+
+        v_bytes = ctx.challenger.challenge(
+            pos_challenge_data(seed, commitment), ctx.vbitlen, ctx.rbitlen
+        )
+        v = int.from_bytes(v_bytes, "big")
+
+        reply_bt = ByteTree.from_bytes(b.wait_for(l, f"PoSReply{l}"))
+        verdict = V.verify(reply_bt, v)
+        if verdict:
+            self._export(self._pf("PoSReply", l), reply_bt)
+        return verdict
+
+    # ----------------------------------------------------------- decrypt
+
+    def decrypt(self, ciphertexts: PPArray, write_type: bool = True):
+        """Distributed verifiable decryption
+        (reference: DistrElGamalSession.decrypt:344-540)."""
+        party = self.party
+        ctx = self.ctx
+        k = self.k
+        threshold = party.par.threshold
+        b = self.board.scope("decrypt")
+        n = ciphertexts.size
+
+        if self.nizkp is not None:
+            if write_type:
+                _write(self.nizkp / "type", "decryption")
+                _write(self.nizkp / "Ciphertexts.bt",
+                       ciphertexts.to_bytetree().to_bytes())
+            _write(self.nizkp / "FullPublicKey.bt",
+                   party.full_public_key().to_bytetree().to_bytes())
+        poly_bt = party.dkg.poly_bytetree()
+        self._export(self._pf("PolynomialInExponent.bt"), poly_bt)
+
+        u = ciphertexts.project(0)
+        v_comp = ciphertexts.project(1)
+        field = ctx.pgroup.ring
+        inv_factor = _inverse_factor(field, k)
+
+        correct = [False] + [True] * k
+
+        # --- own factors: f_j = u^{-x_j * invFactor} -------------------
+        x = party.dkg.secret_share
+        exp_own = x.neg().mul(field.from_int(inv_factor))
+        f_own = u.exp(exp_own)
+        b.publish(f"DecryptionFactors{self.j}",
+                  f_own.to_bytetree().to_bytes())
+
+        # --- exchange factors ------------------------------------------
+        factors = [None] * (k + 1)
+        for l in range(1, k + 1):
+            if l == self.j:
+                factors[l] = f_own
+            else:
+                bt = ByteTree.from_bytes(
+                    b.wait_for(l, f"DecryptionFactors{l}")
+                )
+                try:
+                    factors[l] = _plain_group_of(ctx, self.width
+                                                 ).elem_from_bytetree(bt, n)
+                except (ByteTreeError, ValueError):
+                    factors[l] = _plain_group_of(ctx, self.width).one((n,))
+                    correct[l] = False
+            self._export(self._pf("DecryptionFactors", l),
+                         factors[l].to_bytetree())
+
+        # --- seed: node(node(g, ciphs), node(poly, node(factors...)))
+        # (reference: DistrElGamalSession.java:430-456) -----------------
+        g_basic = ctx.pgroup.g
+        seed_data = node(
+            node(g_basic.to_bytetree(), ciphertexts.to_bytetree()),
+            node(poly_bt,
+                 node(*[factors[l].to_bytetree() for l in range(1, k + 1)])),
+        )
+        seed = ctx.challenger.challenge(
+            seed_data, 8 * ctx.prg.min_seed_bytes, ctx.rbitlen
+        )
+        e = _batch_vector(field, n, ctx.ebitlen, ctx.prg, seed)
+
+        # Batch input A = prod u^e  (componentwise for width > 1).
+        A = u.exp_prod(e, ctx.ebitlen)
+
+        # --- commitments: yp = g^r, Bp = A^r ---------------------------
+        r = field.random((), party.rs, ctx.rbitlen)
+        yp_own = g_basic.exp(r)
+        Bp_own = A.exp(r)
+        com_own = node(yp_own.to_bytetree(), Bp_own.to_bytetree())
+        b.publish(f"DecrCommitment{self.j}", com_own.to_bytes())
+
+        yps = [None] * (k + 1)
+        Bps = [None] * (k + 1)
+        for l in range(1, k + 1):
+            if l == self.j:
+                yps[l], Bps[l] = yp_own, Bp_own
+                com_bt = com_own
+            else:
+                com_bt = ByteTree.from_bytes(
+                    b.wait_for(l, f"DecrCommitment{l}")
+                )
+                try:
+                    yps[l] = ctx.pgroup.elem_from_bytetree(com_bt[0])
+                    Bps[l] = _plain_group_of(ctx, self.width
+                                             ).elem_from_bytetree(com_bt[1])
+                except (ByteTreeError, ValueError, IndexError):
+                    yps[l] = ctx.pgroup.one()
+                    Bps[l] = _plain_group_of(ctx, self.width).one()
+                    correct[l] = False
+                    com_bt = node(yps[l].to_bytetree(), Bps[l].to_bytetree())
+            self._export(self._pf("DecrFactCommitment", l), com_bt)
+
+        # --- challenge -------------------------------------------------
+        all_coms = node(*[
+            node(yps[l].to_bytetree(), Bps[l].to_bytetree())
+            for l in range(1, k + 1)
+        ])
+        v_bytes = ctx.challenger.challenge(
+            node(leaf(seed), all_coms), ctx.vbitlen, ctx.rbitlen
+        )
+        v_int = int.from_bytes(v_bytes, "big")
+        v_f = field.from_int(v_int)
+
+        # --- replies: k_x = -x*invFactor*v + r -------------------------
+        kx_own = exp_own.mul(v_f).add(r)
+        b.publish(f"DecrReply{self.j}", kx_own.to_bytetree().to_bytes())
+        kxs = [None] * (k + 1)
+        for l in range(1, k + 1):
+            if l == self.j:
+                kxs[l] = kx_own
+            else:
+                bt = ByteTree.from_bytes(b.wait_for(l, f"DecrReply{l}"))
+                try:
+                    kxs[l] = field.from_bytetree(bt)
+                except (ByteTreeError, ValueError):
+                    kxs[l] = field.from_int(0)
+                    correct[l] = False
+            self._export(self._pf("DecrFactReply", l),
+                         kxs[l].to_bytetree())
+
+        # --- optimistic combined verification --------------------------
+        # (reference: DistrElGamalSession.java:488-515)
+        y_parties = [None] + [
+            party.dkg.public_key_of(l) for l in range(1, k + 1)
+        ]
+        joint_y = party.dkg.joint_public_key
+        combined_f = _combine_factors(factors, correct, k, threshold, field)
+        ok = _verify_combined(
+            field, g_basic, A, joint_y, combined_f, e, ctx.ebitlen,
+            yps, Bps, kxs, correct, k, threshold, v_f,
+        )
+        if not ok:
+            # fall back to per-party verification
+            for l in range(1, k + 1):
+                if correct[l] and l != self.j:
+                    correct[l] = _verify_party(
+                        field, g_basic, A, y_parties[l], factors[l], e,
+                        ctx.ebitlen, yps[l], Bps[l], kxs[l],
+                        inv_factor, v_f,
+                    )
+            combined_f = _combine_factors(
+                factors, correct, k, threshold, field
+            )
+
+        # --- plaintexts ------------------------------------------------
+        plaintexts = v_comp.mul(combined_f)
+        if self.proofs is not None:
+            _write(self.proofs / "CorrectIndices.bt",
+                   _bool_array_bt(correct).to_bytes())
+        if self.nizkp is not None:
+            _write(self.nizkp / "Plaintexts.bt",
+                   plaintexts.to_bytetree().to_bytes())
+        return plaintexts
+
+    # --------------------------------------------------------------- mix
+
+    def mix(self, ciphertexts: PPArray):
+        """shuffle then decrypt (reference:
+        MixNetElGamalSession.mix:345-352)."""
+        if self.nizkp is not None:
+            _write(self.nizkp / "type", "mixing")
+            _write(self.nizkp / "Ciphertexts.bt",
+                   ciphertexts.to_bytetree().to_bytes())
+        shuffled = self.shuffle(ciphertexts, write_type=False)
+        return self.decrypt(shuffled, write_type=False)
+
+
+# --------------------------------------------------------------- helpers
+
+
+def _plain_group_of(ctx, width):
+    return ctx.plain_group(width)
+
+
+def _plain_ring_of(ctx, width):
+    grp = ctx.plain_group(width)
+    return grp.ring
+
+
+def _batch_vector(field, n, ebitlen, prg, seed):
+    prg.set_seed(seed)
+    return field.random_bits_prg(n, ebitlen, prg)
+
+
+def _prod_factor(k: int) -> int:
+    """Square of prod of maximal prime powers <= k
+    (reference: DistrElGamalSessionBasic.prodFactor:318-344)."""
+    res = 1
+    p = 2
+    while p <= k:
+        pw = 1
+        while pw * p <= k:
+            pw *= p
+        res *= pw
+        p = _next_prime(p)
+    return res * res
+
+
+def _next_prime(p: int) -> int:
+    n = p + 1
+    while True:
+        if all(n % d for d in range(2, int(n ** 0.5) + 1)):
+            return n
+        n += 1
+
+
+def _inverse_factor(field, k: int) -> int:
+    return pow(_prod_factor(k), -1, field.q)
+
+
+def _lagrange_ints(field, correct, k, threshold):
+    """Modified Lagrange coefficients (signed ints)
+    (reference: DistrElGamalSessionBasic:358-452)."""
+    pf = _prod_factor(k)
+    q = field.q
+    out = []
+    idxs = [l for l in range(1, k + 1) if correct[l]][:threshold]
+    if len(idxs) < threshold:
+        raise ProtocolError("too few correct decryption factors")
+    for i in idxs:
+        res = pf % q
+        for l in idxs:
+            if l != i:
+                res = res * l % q
+                res = res * pow(l - i, -1, q) % q
+        # smallest absolute value representative
+        alt = res - q
+        out.append(alt if abs(alt) < res else res)
+    return idxs, out
+
+
+def _combine_factors(factors, correct, k, threshold, field):
+    """prod_l f_l^{lambda_l} over the first `threshold` correct parties
+    (reference: combineDecryptionFactors:465-503)."""
+    idxs, lags = _lagrange_ints(field, correct, k, threshold)
+    acc = None
+    for i, lam in zip(idxs, lags):
+        e = field.from_int(lam)  # mod q (sound: element order q)
+        term = factors[i].exp(e)
+        acc = term if acc is None else acc.mul(term)
+    return acc
+
+
+def _verify_combined(field, g, A, joint_y, combined_f, e, ebitlen,
+                     yps, Bps, kxs, correct, k, threshold, v_f):
+    """Combined sigma verification (reference: verifyCombined:693-700 +
+    combine:642-678)."""
+    idxs, lags = _lagrange_ints(field, correct, k, threshold)
+    cyp = None
+    cBp = None
+    ckx = field.from_int(0)
+    for i, lam in zip(idxs, lags):
+        lam_f = field.from_int(lam)
+        typ = yps[i].exp(lam_f)
+        tBp = Bps[i].exp(lam_f)
+        cyp = typ if cyp is None else cyp.mul(typ)
+        cBp = tBp if cBp is None else cBp.mul(tBp)
+        ckx = ckx.add(kxs[i].mul(lam_f))
+    combined_B = combined_f.exp_prod(e, ebitlen)
+    ok1 = joint_y.inv().exp(v_f).mul(cyp).equals(g.exp(ckx))
+    ok2 = combined_B.exp(v_f).mul(cBp).equals(A.exp(ckx))
+    return ok1 and ok2
+
+
+def _verify_party(field, g, A, y_l, f_l, e, ebitlen, yp, Bp, kx,
+                  inv_factor, v_f):
+    """Per-party sigma verification (reference: verify:718-727)."""
+    B_l = f_l.exp_prod(e, ebitlen)
+    ivf = field.from_int(inv_factor)
+    ok1 = y_l.inv().exp(ivf.mul(v_f)).mul(yp).equals(g.exp(kx))
+    ok2 = B_l.exp(v_f).mul(Bp).equals(A.exp(kx))
+    return ok1 and ok2
+
+
+def _bool_array_bt(correct) -> ByteTree:
+    """boolean[] -> leaf of 0/1 bytes
+    (reference: ByteTree.booleanArrayToByteTree)."""
+    return leaf(bytes(1 if c else 0 for c in correct))

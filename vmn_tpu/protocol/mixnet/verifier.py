@@ -1,0 +1,361 @@
+"""Standalone Fiat–Shamir verifier of a proof directory ("vmnv").
+
+Anyone holding the protocol parameters can verify a `nizkp` directory
+offline — no network, no secrets (reference:
+MixNetElGamalVerifyFiatShamirSession.verify:1318-1668).
+
+Verification is itself batched device work: the dominant cost is the
+same multi-exponentiations as the live verifier.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional
+
+from vmn_tpu import VCR_COMPAT_VERSION
+from vmn_tpu.arith.pgroup import GArray, PPArray
+from vmn_tpu.eio.bytetree import ByteTree, ByteTreeError, leaf, node
+from vmn_tpu.protocol import elgamal
+from vmn_tpu.protocol.context import ProtocolContext, ProtocolParams
+from vmn_tpu.protocol.distr.dkg import evaluate_poly_in_exp
+from vmn_tpu.protocol.hvzk.pos_tw import (
+    PoSParams,
+    PoSVerifier,
+    pos_challenge_data,
+    pos_seed_data,
+)
+from vmn_tpu.protocol.mixnet.party import (
+    _batch_vector,
+    _combine_factors,
+    _inverse_factor,
+    _verify_combined,
+    _verify_party,
+)
+
+
+class VerificationError(Exception):
+    pass
+
+
+@dataclass
+class VerificationResult:
+    type: str
+    auxsid: str
+    width: int
+    active_threshold: int
+    shuffle_ok: bool
+    decrypt_ok: bool
+    test_vectors: Dict[str, str]
+
+    @property
+    def ok(self) -> bool:
+        return self.shuffle_ok and self.decrypt_ok
+
+
+class FiatShamirVerifier:
+    """Universal verifier for a nizkp directory."""
+
+    def __init__(self, params: ProtocolParams, nizkp,
+                 test_vectors: Optional[List[str]] = None):
+        self.par = params
+        self.nizkp = Path(nizkp)
+        self.proofs = self.nizkp / "proofs"
+        self.tv_names = set(test_vectors or [])
+        self.tv: Dict[str, str] = {}
+
+    # ------------------------------------------------------------- utils
+
+    def _tv(self, name: str, value) -> None:
+        """Test-vector output (reference:
+        MixNetElGamalVerifyFiatShamir.checkPrintTestVector:397-430)."""
+        if name in self.tv_names:
+            self.tv[name] = str(value)
+
+    def _fail(self, msg: str):
+        raise VerificationError(msg)
+
+    def _read(self, path: Path) -> bytes:
+        if not path.exists():
+            self._fail(f"missing file: {path}")
+        return path.read_bytes()
+
+    def _read_bt(self, path: Path) -> ByteTree:
+        try:
+            return ByteTree.from_bytes(self._read(path))
+        except ByteTreeError as e:
+            self._fail(f"malformed byte tree in {path}: {e}")
+
+    # -------------------------------------------------------------- main
+
+    def verify(self, expected_type: Optional[str] = None,
+               expected_auxsid: Optional[str] = None,
+               check_pos: bool = True,
+               check_dec: bool = True) -> VerificationResult:
+        nz = self.nizkp
+
+        # Version (reference: verifyVersion).
+        version = self._read(nz / "version").decode().strip()
+        if version != VCR_COMPAT_VERSION:
+            self._fail(f"incompatible proof version: {version}")
+
+        ptype = self._read(nz / "type").decode().strip()
+        auxsid = self._read(nz / "auxsid").decode().strip()
+        width = int(self._read(nz / "width").decode().strip())
+        if expected_type is not None and ptype != expected_type:
+            self._fail(f"wrong proof type {ptype} != {expected_type}")
+        if expected_auxsid is not None and auxsid != expected_auxsid:
+            self._fail("wrong auxsid")
+
+        do_pos = check_pos and ptype in ("mixing", "shuffling")
+        do_dec = check_dec and ptype in ("mixing", "decryption")
+
+        ctx = ProtocolContext(self.par, f"{self.par.sid}.{auxsid}")
+        self._tv("par.sid", self.par.sid)
+        self._tv("der.rho", ctx.global_prefix.hex())
+        self._tv("par.n_e", self.par.ebitlenro)
+        self._tv("par.n_r", self.par.rbitlen)
+        self._tv("par.n_v", self.par.vbitlenro)
+
+        # Full public key (g, y): basic key must equal the generator
+        # (reference: readFullPKey:194-235).
+        key_group = ctx.key_group()
+        fpk_bt = self._read_bt(nz / "FullPublicKey.bt")
+        fpk = elgamal.ElGamalPublicKey.from_bytetree(key_group, fpk_bt)
+        if not fpk.g.equals(key_group.g):
+            self._fail("basic public key is not the standard generator")
+        self._tv("bas.pk", fpk_bt.to_bytes().hex())
+
+        # Active threshold.
+        at_file = self.proofs / "activethreshold"
+        active_threshold = (
+            int(self._read(at_file).decode().strip())
+            if at_file.exists() else self.par.threshold
+        )
+        if not (self.par.threshold <= active_threshold <= self.par.k):
+            self._fail("bad active threshold")
+
+        ciph_group = ctx.ciph_group(width)
+
+        # Input ciphertexts.
+        ciphs = None
+        if do_pos or do_dec:
+            if do_pos or ptype == "decryption":
+                bt = self._read_bt(nz / "Ciphertexts.bt")
+            else:
+                bt = self._read_bt(
+                    self.proofs / f"Ciphertexts{active_threshold:02d}.bt"
+                )
+            ciphs = ciph_group.elem_from_bytetree(bt)
+            self._tv("bas.L_0", bt.to_bytes().hex())
+        n = ciphs.size if ciphs is not None else 0
+
+        shuffle_ok = True
+        if do_pos:
+            ciphs, shuffle_ok = self._verify_shuffling(
+                ctx, width, ciph_group, ciphs, n, active_threshold, fpk
+            )
+
+        decrypt_ok = True
+        if do_dec:
+            decrypt_ok = self._verify_decryption(ctx, width, ciphs, fpk)
+
+        return VerificationResult(
+            type=ptype,
+            auxsid=auxsid,
+            width=width,
+            active_threshold=active_threshold,
+            shuffle_ok=shuffle_ok,
+            decrypt_ok=decrypt_ok,
+            test_vectors=self.tv,
+        )
+
+    # ----------------------------------------------------------- shuffle
+
+    def _verify_shuffling(self, ctx, width, ciph_group, ciphs, n,
+                          active_threshold, fpk):
+        """Per-party PoS verification chain, replacing outputs by inputs
+        on failure (reference: ...FiatShamirSession.java:1397-1517)."""
+        generators = ctx.independent_generators("generators", n)
+        self._tv("bas.h", generators.to_bytetree().to_bytes().hex())
+        g = ctx.pgroup.g
+        wide_pk_elem = fpk.widen(width).as_ciph_elem()
+        pos_par = PoSParams(ctx.vbitlen, ctx.ebitlen, ctx.rbitlen, ctx.prg)
+
+        inp = ciphs
+        valid = 0
+        for l in range(1, active_threshold + 1):
+            pc_file = self.proofs / f"PoSCommitment{l:02d}.bt"
+            if not pc_file.exists():
+                continue  # inactive party
+
+            # Output list of party l.
+            out_file = self.proofs / f"Ciphertexts{l:02d}.bt"
+            if l == active_threshold and not out_file.exists():
+                out_file = self.nizkp / "ShuffledCiphertexts.bt"
+            out_bt = self._read_bt(out_file)
+            try:
+                out = ciph_group.elem_from_bytetree(out_bt, n)
+            except (ByteTreeError, ValueError):
+                self._fail(f"malformed output list of party {l}")
+            self._tv("bas.L_l", out_bt.to_bytes().hex())
+
+            V = PoSVerifier(pos_par)
+            V.precompute(g, generators)
+            V.set_instance(wide_pk_elem, inp, out)
+
+            u_file = self.proofs / f"PermutationCommitment{l:02d}.bt"
+            u_bt = self._read_bt(u_file) if u_file.exists() else None
+            V.set_permutation_commitment(u_bt)
+            self._tv("u", V.u.to_bytetree().to_bytes().hex())
+
+            seed = ctx.challenger.challenge(
+                pos_seed_data(g, generators, V.u, wide_pk_elem, inp, out),
+                8 * ctx.prg.min_seed_bytes,
+                ctx.rbitlen,
+            )
+            self._tv("PoS.s", seed.hex())
+            V.set_batch_vector(seed)
+            V.compute_AF()
+
+            commitment = V.set_commitment(self._read_bt(pc_file))
+            v_bytes = ctx.challenger.challenge(
+                pos_challenge_data(seed, commitment),
+                ctx.vbitlen, ctx.rbitlen,
+            )
+            v = int.from_bytes(v_bytes, "big")
+            self._tv("PoS.v", v)
+
+            reply_file = self.proofs / f"PoSReply{l:02d}.bt"
+            verdict = (
+                reply_file.exists()
+                and V.verify(self._read_bt(reply_file), v)
+            )
+            if verdict:
+                valid += 1
+            else:
+                # Mirror the live protocol: replace output with input.
+                out = inp.copy_of_range(0, n)
+            inp = out
+
+        ok = valid >= self.par.threshold
+        return inp, ok
+
+    # ----------------------------------------------------------- decrypt
+
+    def _verify_decryption(self, ctx, width, ciphs, fpk) -> bool:
+        """Combined decryption-proof verification + plaintext match
+        (reference: ...FiatShamirSession.java:1537-1667)."""
+        k = self.par.k
+        threshold = self.par.threshold
+        field = ctx.pgroup.ring
+        n = ciphs.size
+        plain_grp = ctx.plain_group(width)
+
+        # Mix-server keys from the polynomial in exponent
+        # (reference: readMixServerPKeys:239-272).
+        poly_bt = self._read_bt(self.proofs / "PolynomialInExponent.bt")
+        key_group = ctx.key_group()
+        try:
+            poly = key_group.elem_from_bytetree(poly_bt, threshold)
+        except (ByteTreeError, ValueError):
+            self._fail("malformed polynomial in exponent")
+        if not fpk.y.equals(poly.get(0)):
+            self._fail("mismatching public keys")
+        y_parties = [None] + [
+            evaluate_poly_in_exp(poly, l) for l in range(1, k + 1)
+        ]
+
+        # Correct indices.
+        cr_bt = self._read_bt(self.proofs / "CorrectIndices.bt")
+        correct = [bool(b) for b in cr_bt.data]
+        if len(correct) != k + 1:
+            self._fail("malformed correct-indices array")
+        if sum(correct[1:]) < threshold:
+            self._fail("fewer than threshold correct decryption factors")
+
+        # Decryption factors.
+        factors = [None] * (k + 1)
+        for l in range(1, k + 1):
+            f_file = self.proofs / f"DecryptionFactors{l:02d}.bt"
+            try:
+                factors[l] = plain_grp.elem_from_bytetree(
+                    self._read_bt(f_file), n
+                )
+            except (ByteTreeError, ValueError):
+                factors[l] = plain_grp.one((n,))
+
+        u = ciphs.project(0)
+        g_basic = ctx.pgroup.g
+        combined_f = _combine_factors(factors, correct, k, threshold, field)
+
+        seed_data = node(
+            node(g_basic.to_bytetree(), ciphs.to_bytetree()),
+            node(poly_bt,
+                 node(*[factors[l].to_bytetree() for l in range(1, k + 1)])),
+        )
+        seed = ctx.challenger.challenge(
+            seed_data, 8 * ctx.prg.min_seed_bytes, ctx.rbitlen
+        )
+        self._tv("Dec.s", seed.hex())
+        e = _batch_vector(field, n, ctx.ebitlen, ctx.prg, seed)
+        A = u.exp_prod(e, ctx.ebitlen)
+
+        # Commitments + replies.
+        yps = [None] * (k + 1)
+        Bps = [None] * (k + 1)
+        kxs = [None] * (k + 1)
+        for l in range(1, k + 1):
+            com_bt = self._read_bt(
+                self.proofs / f"DecrFactCommitment{l:02d}.bt"
+            )
+            try:
+                yps[l] = ctx.pgroup.elem_from_bytetree(com_bt[0])
+                Bps[l] = plain_grp.elem_from_bytetree(com_bt[1])
+            except (ByteTreeError, ValueError, IndexError):
+                yps[l] = ctx.pgroup.one()
+                Bps[l] = plain_grp.one()
+            r_bt = self._read_bt(self.proofs / f"DecrFactReply{l:02d}.bt")
+            try:
+                kxs[l] = field.from_bytetree(r_bt)
+            except (ByteTreeError, ValueError):
+                kxs[l] = field.from_int(0)
+
+        all_coms = node(*[
+            node(yps[l].to_bytetree(), Bps[l].to_bytetree())
+            for l in range(1, k + 1)
+        ])
+        v_bytes = ctx.challenger.challenge(
+            node(leaf(seed), all_coms), ctx.vbitlen, ctx.rbitlen
+        )
+        v_int = int.from_bytes(v_bytes, "big")
+        self._tv("Dec.v", v_int)
+        v_f = field.from_int(v_int)
+
+        ok = _verify_combined(
+            field, g_basic, A, fpk.y, combined_f, e, ctx.ebitlen,
+            yps, Bps, kxs, correct, k, threshold, v_f,
+        )
+        if not ok:
+            # Per-party fallback mirrors the live protocol.
+            inv_factor = _inverse_factor(field, k)
+            per = list(correct)
+            for l in range(1, k + 1):
+                if per[l]:
+                    per[l] = _verify_party(
+                        field, g_basic, A, y_parties[l], factors[l], e,
+                        ctx.ebitlen, yps[l], Bps[l], kxs[l], inv_factor, v_f,
+                    )
+            if per[1:] != correct[1:] or sum(per[1:]) < threshold:
+                return False
+            ok = True
+
+        # Plaintext match (reference: matchComputedPlaintexts).
+        computed = ciphs.project(1).mul(combined_f)
+        pl_bt = self._read_bt(self.nizkp / "Plaintexts.bt")
+        try:
+            published = plain_grp.elem_from_bytetree(pl_bt, n)
+        except (ByteTreeError, ValueError):
+            return False
+        return ok and computed.equals(published)
