@@ -4,15 +4,15 @@ The single hottest primitive of the whole framework: every group
 operation reduces to streams of (N, L)-batched Montgomery products
 (reference equivalent: gmpmee's mpz_powm loops, SURVEY.md §2.3).
 
-Layout: a batch tile of TN ciphertext rows lives in VMEM as a
-(TN, L) uint32 matrix of 16-bit limbs — for 2048-bit moduli L = 128,
-exactly one VPU lane row per element.  The CIOS loop runs over limbs
-with the accumulator held in VMEM scratch; each iteration is two
-(TN, L) 32-bit multiply-accumulates on the VPU plus a lane roll.
+Layout inside the kernel is **limb-major**: a tile is a (L, TN) uint32
+matrix — limbs on sublanes, batch elements on lanes.  This makes the
+CIOS limb recurrence a *sublane* shift (cheap) and keeps every lane
+fully independent; the per-iteration dynamic index (current limb of
+`a`) is a dynamic sublane slice, which Mosaic supports (dynamic *lane*
+slices must be 128-aligned and are not).
 
-The final carry-resolution + conditional subtraction is a sequential
-scan across limbs; it is O(L) per tile (not O(L^2)) and stays in the
-kernel to avoid a second pass over HBM.
+The final carry resolution + conditional subtraction is a sequential
+O(L) sublane scan per tile, fused into the same kernel.
 """
 
 from __future__ import annotations
@@ -26,101 +26,111 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vmn_tpu.arith.limbs import LIMB_BITS, LIMB_MASK
 
-TILE_N = 256  # batch rows per grid step
+TILE_N = 512  # batch lanes per grid step (multiple of 128)
 
 
-def _mont_mul_kernel(a_ref, b_ref, m_ref, mp_ref, out_ref):
-    """One batch tile: out = a*b*R^{-1} mod m (canonical in/out).
+def _mont_mul_kernel(a_ref, b_ref, m_ref, mp_ref, out_ref, t_ref):
+    """One batch tile: out = a*b*R^{-1} mod m, all (L, TN) limb-major.
 
-    The accumulator t is (TN, L) lazy limbs (< 2^26); the (L+1)'th
-    column is carried separately in `hi` and folded in by the
-    per-iteration right-shift.
+    t_ref: (L + 1, TN) uint32 scratch — lazy accumulator (< 2^26).
     """
-    L = a_ref.shape[1]
-    a = a_ref[:]
-    b = b_ref[:]
-    m = m_ref[0, :]  # (L,)
+    L = a_ref.shape[0]
+    b = b_ref[:]  # (L, TN)
     mp = mp_ref[0, 0]
-
     mask = jnp.uint32(LIMB_MASK)
+    TN = b.shape[1]
 
-    def body(i, carry):
-        t, hi = carry  # t: (TN, L) lazy limbs; hi: (TN, 1) overflow column
-        ai = jax.lax.dynamic_slice_in_dim(a, i, 1, axis=1)  # (TN, 1)
-        p = ai * b
-        t = t + (p & mask)
-        hi_new = hi + (p[:, L - 1 :] >> LIMB_BITS)
-        t = t.at[:, 1:].add(p[:, : L - 1] >> LIMB_BITS)
+    zero_row = jnp.zeros((1, TN), jnp.uint32)
+    t_ref[:] = jnp.zeros_like(t_ref)
 
-        q = (t[:, :1] * mp) & mask
-        p2 = q * m[None, :]
-        t = t + (p2 & mask)
-        hi_new = hi_new + (p2[:, L - 1 :] >> LIMB_BITS)
-        t = t.at[:, 1:].add(p2[:, : L - 1] >> LIMB_BITS)
+    def shift_up(x):
+        """(L, TN) -> (L+1, TN): value shifted one limb up."""
+        return jnp.concatenate([zero_row, x], axis=0)
 
-        # shift right one limb: t[:,0] folds its carry into t[:,1]
-        carry0 = t[:, :1] >> LIMB_BITS
-        t = jnp.concatenate([t[:, 1:], hi_new], axis=1)
-        t = t.at[:, :1].add(carry0)
-        return t, jnp.zeros_like(hi_new)
+    def pad0(x):
+        """(L, TN) -> (L+1, TN): zero row appended."""
+        return jnp.concatenate([x, zero_row], axis=0)
 
-    t0 = jnp.zeros(a.shape, jnp.uint32)
-    hi0 = jnp.zeros((a.shape[0], 1), jnp.uint32)
-    t, _ = jax.lax.fori_loop(0, L, body, (t0, hi0))
+    def body(i, _):
+        ai = a_ref[pl.ds(i, 1), :]  # (1, TN)
+        t = t_ref[:]  # (L+1, TN)
+        p = ai * b  # (L, TN) 32-bit products of 16-bit limbs
+        t = t + pad0(p & mask) + shift_up(p >> LIMB_BITS)
 
-    # Carry resolution + conditional subtract (value in [0, 2m)).
+        q = (t[:1, :] * mp) & mask  # (1, TN)
+        p2 = q * m_ref[:]  # (L, TN)
+        t = t + pad0(p2 & mask) + shift_up(p2 >> LIMB_BITS)
+
+        # Right-shift one limb; col0's carry folds into the new row 0.
+        carry0 = t[:1, :] >> LIMB_BITS
+        t = jnp.concatenate([t[1:, :] , zero_row], axis=0)
+        t = t + pad0(jnp.concatenate(
+            [carry0, jnp.zeros((L - 1, TN), jnp.uint32)], axis=0))
+        t_ref[:] = t
+        return 0
+
+    jax.lax.fori_loop(0, L, body, 0, unroll=False)
+
+    # Carry resolution + conditional subtraction (value in [0, 2m)).
     def fixup(i, carry):
-        c, br, lo_acc, d_acc = carry
-        tk = jax.lax.dynamic_slice_in_dim(t, i, 1, axis=1).astype(jnp.int32)
-        mk = jax.lax.dynamic_slice_in_dim(m, i, 1).astype(jnp.int32)
+        c, br = carry
+        tk = t_ref[pl.ds(i, 1), :].astype(jnp.int32)
+        mk = m_ref[pl.ds(i, 1), :].astype(jnp.int32)
         s = tk + c
         lo = s & LIMB_MASK
         c = s >> LIMB_BITS
         d = lo - mk - br
         dlo = d & LIMB_MASK
         br = (d >> 31) & 1
-        lo_acc = jax.lax.dynamic_update_slice_in_dim(lo_acc, lo, i, axis=1)
-        d_acc = jax.lax.dynamic_update_slice_in_dim(d_acc, dlo, i, axis=1)
-        return c, br, lo_acc, d_acc
+        t_ref[pl.ds(i, 1), :] = lo.astype(jnp.uint32)  # stash lo
+        out_ref[pl.ds(i, 1), :] = dlo.astype(jnp.uint32)  # stash d
+        return c, br
 
-    TN = a.shape[0]
-    zc = jnp.zeros((TN, 1), jnp.int32)
-    lo_acc = jnp.zeros((TN, L), jnp.int32)
-    d_acc = jnp.zeros((TN, L), jnp.int32)
-    c, br, lo_acc, d_acc = jax.lax.fori_loop(
-        0, L, fixup, (zc, zc, lo_acc, d_acc)
-    )
-    # If the final borrow is set (and no carry out), t < m: keep lo.
+    zc = jnp.zeros((1, TN), jnp.int32)
+    c, br = jax.lax.fori_loop(0, L, fixup, (zc, zc), unroll=False)
+    # top lazy row L contributes to the final carry
+    c = c + t_ref[pl.ds(L, 1), :].astype(jnp.int32)
+
+    # If no carry out and a borrow occurred, t < m: keep lo.
     keep_lo = jnp.logical_and(br > 0, c == 0)
-    out_ref[:] = jnp.where(keep_lo, lo_acc, d_acc).astype(jnp.uint32)
+    out_ref[:] = jnp.where(keep_lo, t_ref[: L, :], out_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=())
+@jax.jit
 def mont_mul_pallas(a, b, m, mprime):
     """Batched Montgomery product via the Pallas kernel.
 
-    a, b: (N, L) canonical uint32 limbs (broadcast NOT supported here —
-    caller broadcasts).  m: (L,), mprime: scalar.
+    a, b: (N, L) canonical uint32 limbs (caller broadcasts).
+    m: (L,), mprime: uint32 scalar.  Returns (N, L).
     """
     N, L = a.shape
-    grid = (pl.cdiv(N, TILE_N),)
-    m2 = m.reshape(1, L)
+    at = a.T  # (L, N) limb-major
+    bt = b.T
+    tn = min(TILE_N, _round_up(N, 128))
     mp2 = jnp.asarray(mprime, jnp.uint32).reshape(1, 1)
-    return pl.pallas_call(
+    m_col = jnp.broadcast_to(m.reshape(L, 1), (L, tn))
+    out_t = pl.pallas_call(
         _mont_mul_kernel,
-        grid=grid,
+        grid=(pl.cdiv(N, tn),),
         in_specs=[
-            pl.BlockSpec((TILE_N, L), lambda i: (i, 0),
+            pl.BlockSpec((L, tn), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, L), lambda i: (i, 0),
+            pl.BlockSpec((L, tn), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, L), lambda i: (0, 0),
+            pl.BlockSpec((L, tn), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda i: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_N, L), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((L, tn), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, L), jnp.uint32),
-        scratch_shapes=[],
-    )(a, b, m2, mp2)
+        out_shape=jax.ShapeDtypeStruct((L, N), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((L + 1, tn), jnp.uint32),
+        ],
+    )(at, bt, m_col, mp2)
+    return out_t.T
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
