@@ -1,0 +1,76 @@
+"""Headline benchmark: ciphertexts mixed+proved per second, 2048-bit ModP.
+
+Runs a complete k=1 mix — re-encryption shuffle + Terelius-Wikström
+proof + verifiable decryption, full Fiat-Shamir transcript written to a
+nizkp directory — on the real device, and reports throughput as ONE
+JSON line (driver contract).
+
+Methodology mirrors the reference's benchmark harness, which times the
+`vmn -mix` operation end to end (reference: demo/mixnet/bench:33-86 and
+the postlude report, MixNetElGamalTool.java:130-207).
+
+Env knobs: VMN_BENCH_N (default 1024), VMN_BENCH_GROUP (modp2048).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+
+
+def main():
+    n = int(os.environ.get("VMN_BENCH_N", "1024"))
+    group_name = os.environ.get("VMN_BENCH_GROUP", "modp2048")
+
+    import numpy as np
+
+    from vmn_tpu.arith.pgroup import ModPGroup
+    from vmn_tpu.crypto.randomsource import SeededSource
+    from vmn_tpu.protocol import elgamal
+    from vmn_tpu.protocol.com.board import LocalBoardHub
+    from vmn_tpu.protocol.context import ProtocolParams
+    from vmn_tpu.protocol.mixnet.party import MixNetParty
+
+    group = ModPGroup.named(group_name)
+    params = ProtocolParams(sid="Bench", k=1, threshold=1, pgroup=group)
+
+    hub = LocalBoardHub(1)
+    rs = SeededSource(b"bench-party")
+    with tempfile.TemporaryDirectory() as tmp:
+        party = MixNetParty(params, hub.board(1), rs, tmp)
+        pk = party.keygen()
+
+        enc_rs = SeededSource(b"bench-ciphs")
+        msgs = [group.encode_message(f"{i:08d}".encode()) for i in range(n)]
+        m = group.from_ints(msgs)
+        r = group.ring.random((n,), enc_rs, 0)
+        ciphs = elgamal.encrypt(pk, m, r)
+        # materialize inputs before timing
+        np.asarray(ciphs.project(0).limbs)
+
+        session = party.session("bench", 1)
+        t0 = time.time()
+        plaintexts = session.mix(ciphs)
+        np.asarray(plaintexts.limbs)  # force full execution
+        dt = time.time() - t0
+
+        ok = sorted(plaintexts.to_ints()) == sorted(msgs)
+
+    result = {
+        "metric": "ciphertexts_mixed_proved_per_sec_2048bit_modp",
+        "value": round(n / dt, 3),
+        "unit": "ciphertexts/s",
+        "vs_baseline": 1.0,
+        "n": n,
+        "group": group_name,
+        "seconds": round(dt, 3),
+        "correct": bool(ok),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

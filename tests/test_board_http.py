@@ -1,0 +1,104 @@
+"""Signed HTTP bulletin board: publish/wait_for round trip across three
+in-process servers, signature rejection, scoping."""
+
+import threading
+
+import pytest
+
+from vmn_tpu.crypto.randomsource import SeededSource
+from vmn_tpu.crypto.signature import SignatureKeyPair
+from vmn_tpu.protocol.com.board import BoardError
+from vmn_tpu.protocol.com.http import HTTPBulletinBoard
+from vmn_tpu.protocol.info import PartyInfo, PrivateInfo, ProtocolInfo
+
+
+def _free_ports(n):
+    import socket
+
+    socks = []
+    ports = []
+    for _ in range(n):
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        socks.append(s)
+        ports.append(s.getsockname()[1])
+    for s in socks:
+        s.close()
+    return ports
+
+
+def test_signature_roundtrip():
+    rs = SeededSource(b"sig-test")
+    kp = SignatureKeyPair.generate(rs, "test256")
+    sig = kp.sign(b"hello", rs)
+    assert kp.public.verify(b"hello", sig)
+    assert not kp.public.verify(b"hellO", sig)
+    bad = bytearray(sig)
+    bad[-1] ^= 1
+    assert not kp.public.verify(b"hello", bytes(bad))
+    # hex round trip
+    kp2 = SignatureKeyPair.from_hex(kp.to_hex())
+    assert kp2.public.verify(b"hello", kp.sign(b"hello", rs))
+
+
+def test_http_board(tmp_path):
+    k = 3
+    rs = SeededSource(b"board-test")
+    keys = [None] + [
+        SignatureKeyPair.generate(rs, "test256") for _ in range(k)
+    ]
+    ports = _free_ports(2 * k)
+    prot = ProtocolInfo(nopart=k, parties=[
+        PartyInfo(
+            name=f"P{j}",
+            pkey=keys[j].public.to_hex(),
+            http=f"http://127.0.0.1:{ports[2 * (j - 1)]}",
+            hint=f"127.0.0.1:{ports[2 * (j - 1) + 1]}",
+        )
+        for j in range(1, k + 1)
+    ])
+    privs = [None] + [
+        PrivateInfo(name=f"P{j}", skey=keys[j].to_hex())
+        for j in range(1, k + 1)
+    ]
+    boards = [None] + [
+        HTTPBulletinBoard(prot, privs[j], j) for j in range(1, k + 1)
+    ]
+    try:
+        # basic publish / wait_for across parties
+        boards[1].publish("Hello", b"from-1")
+        assert boards[2].wait_for(1, "Hello") == b"from-1"
+        assert boards[3].wait_for(1, "Hello") == b"from-1"
+
+        # scoped labels are independent
+        s2 = boards[2].scope("sess")
+        s2.publish("Hello", b"scoped-2")
+        assert boards[1].scope("sess").wait_for(2, "Hello") == b"scoped-2"
+
+        # concurrent wait unblocks on publish (hint or poll)
+        result = {}
+
+        def waiter():
+            result["v"] = boards[3].wait_for(2, "Late")
+
+        t = threading.Thread(target=waiter)
+        t.start()
+        boards[2].publish("Late", b"late-msg")
+        t.join(timeout=30)
+        assert result.get("v") == b"late-msg"
+
+        # tampered signature is rejected: forge store content
+        root1 = boards[1]
+        from vmn_tpu.eio.bytetree import leaf, node
+
+        fake = node(leaf(b"evil"), leaf(b"\x00" * 288)).to_bytes()
+        root1._store.put("Forged", fake)
+        with pytest.raises(BoardError):
+            boards[2].wait_for(1, "Forged")
+
+        # accounting
+        assert boards[1].sent_bytes > 0
+        assert boards[2].received_bytes > 0
+    finally:
+        for j in range(1, k + 1):
+            boards[j].shutdown()

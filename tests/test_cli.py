@@ -1,0 +1,98 @@
+"""CLI operator-flow test: the single-party equivalent of the
+reference's demo/mixnet check harness driving the installed commands
+(reference: SURVEY.md §4 tier 3)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from vmn_tpu.cli import main as vtm
+from vmn_tpu.cli import vbt, vmn, vmnc, vmnd, vmni, vmnv, vre
+
+GROUP = "named:test256"
+
+
+def test_cli_full_flow(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+
+    # --- vmni: protocol stub + party + merge ---------------------------
+    assert vmni.main([
+        "-prot", "-sid", "CliTest", "-nopart", "1", "-thres", "1",
+        "-pgroup", GROUP, "-stub", "stub.xml",
+    ]) == 0
+    assert vmni.main([
+        "-party", "-name", "Party01", "-stub", "stub.xml",
+        "-dir", str(tmp_path / "p1"), "-seed", "",
+        "-out", "localProtInfo.xml",
+    ]) == 0
+    assert vmni.main([
+        "-merge", "localProtInfo.xml", "-out", "protInfo.xml",
+    ]) == 0
+
+    # deterministic seed for the party
+    (tmp_path / "seed").write_bytes(b"cli-seed")
+    priv = (tmp_path / "privInfo.xml").read_text()
+    priv = priv.replace("<seed />", f"<seed>{tmp_path}/seed</seed>")
+    priv = priv.replace("<seed></seed>", f"<seed>{tmp_path}/seed</seed>")
+    (tmp_path / "privInfo.xml").write_text(priv)
+
+    # --- vmn -keygen ---------------------------------------------------
+    assert vmn.main([
+        "-keygen", "privInfo.xml", "protInfo.xml", "publicKey.bt",
+    ]) == 0
+    assert (tmp_path / "publicKey.bt").exists()
+
+    # --- vmnd -ciphs ---------------------------------------------------
+    assert vmnd.main([
+        "-ciphs", "publicKey.bt", "ciphertexts.bt", "-N", "5",
+        "-pgroup", GROUP,
+    ]) == 0
+
+    # --- vmnc: convert ciphertexts raw -> json -> raw ------------------
+    assert vmnc.main([
+        "-ciphs", "ciphertexts.bt", "ciphertexts.json",
+        "-ini", "raw", "-outi", "json", "-pgroup", GROUP,
+    ]) == 0
+    assert vmnc.main([
+        "-ciphs", "ciphertexts.json", "ciphertexts2.bt",
+        "-ini", "json", "-outi", "raw", "-pgroup", GROUP,
+    ]) == 0
+    assert (
+        (tmp_path / "ciphertexts.bt").read_bytes()
+        == (tmp_path / "ciphertexts2.bt").read_bytes()
+    )
+
+    # --- vre: slice and concatenate ------------------------------------
+    assert vre.main([
+        "-ciphs", "-sub", "0", "3", "ciphertexts.bt", "front.bt",
+    ]) == 0
+    assert vre.main([
+        "-ciphs", "-sub", "3", "5", "ciphertexts.bt", "back.bt",
+    ]) == 0
+    assert vre.main([
+        "-ciphs", "-cat", "front.bt", "back.bt", "rejoined.bt",
+    ]) == 0
+    assert (
+        (tmp_path / "rejoined.bt").read_bytes()
+        == (tmp_path / "ciphertexts.bt").read_bytes()
+    )
+
+    # --- vmn -mix ------------------------------------------------------
+    assert vmn.main([
+        "-mix", "privInfo.xml", "protInfo.xml", "ciphertexts.bt",
+        "plaintexts.bt",
+    ]) == 0
+
+    # --- vmnv ----------------------------------------------------------
+    nizkp = str(tmp_path / "p1" / "nizkp.default")
+    assert vmnv.main(["protInfo.xml", nizkp, "-mix", "-v"]) == 0
+
+    # --- vbt -----------------------------------------------------------
+    assert vbt.main(["plaintexts.bt"]) == 0
+
+    # --- vtm dispatcher ------------------------------------------------
+    assert vtm.main(["vbt", "plaintexts.bt"]) == 0
+    assert vtm.main(["bogus"]) == 2

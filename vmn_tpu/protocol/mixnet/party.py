@@ -48,6 +48,18 @@ from vmn_tpu.protocol.hvzk.pos_tw import (
     pos_challenge_data,
     pos_seed_data,
 )
+from vmn_tpu.protocol.hvzk.posc_tw import (
+    PoSCProver,
+    PoSCVerifier,
+    posc_challenge_data,
+    posc_seed_data,
+)
+from vmn_tpu.protocol.hvzk.ccpos_w import (
+    CCPoSProver,
+    CCPoSVerifier,
+    ccpos_challenge_data,
+    ccpos_seed_data,
+)
 
 
 class ProtocolError(Exception):
@@ -122,6 +134,29 @@ class MixNetParty:
         return MixSession(self, auxsid, width, nizkp)
 
 
+class _PrecompState:
+    """Precomputed per-session state (reference: the cached arrays of
+    ShufflerElGamalSession + PermutationCommitment)."""
+
+    def __init__(self, maxciph, generators, raised_generators, raised_exp,
+                 active_threshold):
+        self.maxciph = maxciph
+        self.generators = generators
+        self.raised_generators = raised_generators
+        self.raised_exp = raised_exp
+        self.active_threshold = active_threshold
+        self.commitments = {}  # l -> GArray (permuted commitments)
+        self.raised_commitments = {}  # l -> GArray (others only)
+        self.exponents = None  # own commitment exponents r
+        self.permutation = None  # own permutation
+        self.reenc_exponents = None
+        self.reenc_factors = None
+        self.shrunk_n = None
+
+    def __contains__(self, l):
+        return l in self.commitments
+
+
 class MixSession:
     """One mixing session (reference: MixNetElGamalSession.java:48)."""
 
@@ -133,6 +168,7 @@ class MixSession:
         self.ctx = party.ctx.session(auxsid)
         self.board = party.board.scope(f"session.{auxsid}")
         self.nizkp = nizkp
+        self._precomp: Optional[_PrecompState] = None
         self.proofs = nizkp / "proofs" if nizkp else None
         if nizkp is not None:
             _write(nizkp / "version", VCR_COMPAT_VERSION)
@@ -168,13 +204,288 @@ class MixSession:
     def _ciph_group(self) -> PPGroup:
         return self.ctx.ciph_group(self.width)
 
+    # ------------------------------------------------------------ precomp
+
+    def precomp(self, maxciph: int) -> None:
+        """Offline phase: independent generators, permutation
+        commitments with PoSC proofs, re-encryption factors — all for
+        the maximum anticipated N (reference:
+        ShufflerElGamalSession.precomp:534-664)."""
+        party = self.party
+        ctx = self.ctx
+        b = self.board.scope("precomp")
+
+        generators = ctx.independent_generators("generators", maxciph)
+        g = ctx.pgroup.g
+        field = ctx.pgroup.ring
+
+        active_threshold = party.active_threshold()
+        if self.proofs is not None:
+            _write(self.proofs / "activethreshold", str(active_threshold))
+            _write(self.proofs / "maxciph", str(maxciph))
+
+        # Raised values: verifier-local CCPoS speedup
+        # (reference: raisedGenerators :475-510, RAISED_BITLENGTH=50).
+        raised_exp = field.from_int(party.rs.random_int(50))
+        raised_generators = generators.exp_bits(raised_exp, 64)
+
+        pos_par = PoSParams(ctx.vbitlen, ctx.ebitlen, ctx.rbitlen, ctx.prg)
+
+        # --- own permutation commitment (precompute) -------------------
+        st = _PrecompState(maxciph, generators, raised_generators,
+                           raised_exp, active_threshold)
+        if self.j <= active_threshold and party.active[self.j]:
+            st.exponents = field.random((maxciph,), party.rs, ctx.rbitlen)
+            st.permutation = Permutation.random(maxciph, party.rs)
+            identity_commitment = generators.mul(g.exp(st.exponents))
+            st.commitments[self.j] = identity_commitment.permute(
+                st.permutation
+            )
+
+        # --- generate: publish + PoSC prove/verify ---------------------
+        for l in range(1, active_threshold + 1):
+            if not party.active[l]:
+                continue
+            if l == self.j:
+                u = st.commitments[self.j]
+                u_bt = u.to_bytetree()
+                b.publish(f"PermutationCommitment{l}", u_bt.to_bytes())
+                self._export(self._pf("PermutationCommitment", l), u_bt)
+                P = PoSCProver(pos_par, party.rs)
+                P.set_instance(g, generators, u, st.exponents,
+                               st.permutation)
+                seed = ctx.challenger.challenge(
+                    posc_seed_data(g, generators, u),
+                    8 * ctx.prg.min_seed_bytes, ctx.rbitlen,
+                )
+                commitment = P.commit(seed)
+                self._export(self._pf("PoSCCommitment", l), commitment)
+                b.publish(f"PoSCCommitment{l}", commitment.to_bytes())
+                v_bytes = ctx.challenger.challenge(
+                    posc_challenge_data(seed, commitment),
+                    ctx.vbitlen, ctx.rbitlen,
+                )
+                reply = P.reply(int.from_bytes(v_bytes, "big"))
+                self._export(self._pf("PoSCReply", l), reply)
+                b.publish(f"PoSCReply{l}", reply.to_bytes())
+            else:
+                u_bt = ByteTree.from_bytes(
+                    b.wait_for(l, f"PermutationCommitment{l}")
+                )
+                V = PoSCVerifier(pos_par)
+                try:
+                    u = ctx.pgroup.elem_from_bytetree(u_bt, maxciph)
+                except (ByteTreeError, ValueError):
+                    u = generators.copy_of_range(0, maxciph)
+                V.set_instance(g, generators, u)
+                self._export(self._pf("PermutationCommitment", l),
+                             u.to_bytetree())
+                seed = ctx.challenger.challenge(
+                    posc_seed_data(g, generators, u),
+                    8 * ctx.prg.min_seed_bytes, ctx.rbitlen,
+                )
+                V.set_batch_vector(seed)
+                com_bt = ByteTree.from_bytes(
+                    b.wait_for(l, f"PoSCCommitment{l}")
+                )
+                commitment = V.set_commitment(com_bt)
+                self._export(self._pf("PoSCCommitment", l), commitment)
+                v_bytes = ctx.challenger.challenge(
+                    posc_challenge_data(seed, commitment),
+                    ctx.vbitlen, ctx.rbitlen,
+                )
+                reply_bt = ByteTree.from_bytes(
+                    b.wait_for(l, f"PoSCReply{l}")
+                )
+                ok = V.verify(reply_bt, int.from_bytes(v_bytes, "big"))
+                if ok:
+                    self._export(self._pf("PoSCReply", l), reply_bt)
+                    st.commitments[l] = u
+                else:
+                    # trivial identity commitment
+                    # (reference: PermutationCommitment.java:343-349)
+                    st.commitments[l] = generators.copy_of_range(0, maxciph)
+                st.raised_commitments[l] = st.commitments[l].exp_bits(
+                    raised_exp, 64
+                )
+
+        # --- re-encryption exponents/factors ---------------------------
+        if self.j <= active_threshold and party.active[self.j]:
+            plain_ring = _plain_ring_of(ctx, self.width)
+            st.reenc_exponents = plain_ring.random(
+                (maxciph,), party.rs, ctx.rbitlen
+            )
+            wide_pk = party.full_public_key().widen(self.width)
+            st.reenc_factors = elgamal.reencryption_factors(
+                wide_pk, st.reenc_exponents
+            )
+        self._precomp = st
+
+    def _shrink(self, n: int) -> "_PrecompState":
+        """Shrink precomputed state to the actual number of ciphertexts
+        via published keep lists (reference:
+        ShufflerElGamalSession.shrink:673-712,
+        PermutationCommitment.shrink:390-471)."""
+        st = self._precomp
+        party = self.party
+        b = self.board.scope("shrink")
+        if st.shrunk_n == n:
+            return st
+        import numpy as np
+
+        sh = _PrecompState(
+            n,
+            st.generators.copy_of_range(0, n),
+            st.raised_generators.copy_of_range(0, n),
+            st.raised_exp,
+            st.active_threshold,
+        )
+        sh.shrunk_n = n
+        for l in range(1, st.active_threshold + 1):
+            if not party.active[l]:
+                continue
+            if l == self.j:
+                keep = st.permutation.tbl < n
+                bt = _bool_array_bt(keep.tolist())
+                b.publish(f"KeepList{l}", bt.to_bytes())
+                self._export(self._pf("KeepList", l), bt)
+                sh.exponents = st.exponents.copy_of_range(0, n)
+                sh.permutation = st.permutation.shrink(n)
+            else:
+                raw = ByteTree.from_bytes(b.wait_for(l, f"KeepList{l}"))
+                try:
+                    keep = np.frombuffer(raw.data, np.uint8).astype(bool)
+                    if keep.shape[0] != st.maxciph or keep.sum() != n:
+                        raise ByteTreeError("bad keep list")
+                except (ByteTreeError, ValueError):
+                    keep = np.zeros(st.maxciph, bool)
+                    keep[:n] = True
+                self._export(self._pf("KeepList", l),
+                             _bool_array_bt(keep.tolist()))
+            idx = np.nonzero(keep)[0]
+            sh.commitments[l] = st.commitments[l].take(idx)
+            if l != self.j and st.raised_commitments[l] is not None:
+                sh.raised_commitments[l] = st.raised_commitments[l].take(idx)
+        if self.j <= st.active_threshold and party.active[self.j]:
+            sh.reenc_exponents = st.reenc_exponents.copy_of_range(0, n)
+            sh.reenc_factors = st.reenc_factors.copy_of_range(0, n)
+        return sh
+
+    def committed_shuffle(self, ciphertexts: PPArray,
+                          write_type: bool = True) -> PPArray:
+        """Online phase after precomputation: shrink + per-party CCPoS
+        (reference: ShufflerElGamalSession.committedShuffle:972-1038)."""
+        party = self.party
+        ctx = self.ctx
+        n = ciphertexts.size
+        b = self.board.scope("ccshuffle")
+
+        if self.nizkp is not None and write_type:
+            _write(self.nizkp / "type", "shuffling")
+        if self.nizkp is not None:
+            _write(self.nizkp / "FullPublicKey.bt",
+                   party.full_public_key().to_bytetree().to_bytes())
+            _write(self.nizkp / "Ciphertexts.bt",
+                   ciphertexts.to_bytetree().to_bytes())
+
+        st = self._shrink(n)
+        g = ctx.pgroup.g
+        wide_pk_elem = self._wide_pk()
+        pos_par = PoSParams(ctx.vbitlen, ctx.ebitlen, ctx.rbitlen, ctx.prg)
+        active_threshold = st.active_threshold
+
+        inp = ciphertexts
+        valid_proofs = 0
+        for l in range(1, active_threshold + 1):
+            if not party.active[l]:
+                continue
+            if l == self.j:
+                out = inp.mul(st.reenc_factors).permute(
+                    st.permutation.inv()
+                )
+                b.publish(f"Ciphertext{l}", out.to_bytetree().to_bytes())
+                P = CCPoSProver(pos_par, party.rs)
+                P.set_instance(
+                    g, st.generators, st.commitments[l], wide_pk_elem,
+                    inp, out, st.exponents, st.permutation,
+                    st.reenc_exponents,
+                )
+                seed = ctx.challenger.challenge(
+                    ccpos_seed_data(g, st.generators, st.commitments[l],
+                                    wide_pk_elem, inp, out),
+                    8 * ctx.prg.min_seed_bytes, ctx.rbitlen,
+                )
+                commitment = P.commit(seed)
+                self._export(self._pf("CCPoSCommitment", l), commitment)
+                b.publish(f"CCPoSCommitment{l}", commitment.to_bytes())
+                v_bytes = ctx.challenger.challenge(
+                    ccpos_challenge_data(seed, commitment),
+                    ctx.vbitlen, ctx.rbitlen,
+                )
+                reply = P.reply(int.from_bytes(v_bytes, "big"))
+                self._export(self._pf("CCPoSReply", l), reply)
+                b.publish(f"CCPoSReply{l}", reply.to_bytes())
+                valid_proofs += 1
+            else:
+                out_bt = ByteTree.from_bytes(b.wait_for(l, f"Ciphertext{l}"))
+                try:
+                    out = self._ciph_group().elem_from_bytetree(out_bt, n)
+                except (ByteTreeError, ValueError):
+                    out = inp.copy_of_range(0, n)
+                ok = self._verify_ccpos(
+                    b, l, pos_par, g, st, wide_pk_elem, inp, out
+                )
+                if ok:
+                    valid_proofs += 1
+                else:
+                    out = inp.copy_of_range(0, n)
+            if self.nizkp is not None:
+                if l == active_threshold:
+                    _write(self.nizkp / "ShuffledCiphertexts.bt",
+                           out.to_bytetree().to_bytes())
+                else:
+                    self._export(self._pf("Ciphertexts", l),
+                                 out.to_bytetree())
+            inp = out
+
+        if valid_proofs < party.par.threshold:
+            raise ProtocolError(f"too few valid proofs ({valid_proofs})")
+        return inp
+
+    def _verify_ccpos(self, b, l, pos_par, g, st, pkey, w, wp) -> bool:
+        ctx = self.ctx
+        V = CCPoSVerifier(pos_par)
+        V.set_instance(g, st.generators, st.commitments[l], pkey, w, wp)
+        seed = ctx.challenger.challenge(
+            ccpos_seed_data(g, st.generators, st.commitments[l], pkey, w,
+                            wp),
+            8 * ctx.prg.min_seed_bytes, ctx.rbitlen,
+        )
+        V.set_batch_vector(seed)
+        V.compute_AB()
+        com_bt = ByteTree.from_bytes(b.wait_for(l, f"CCPoSCommitment{l}"))
+        commitment = V.set_commitment(com_bt)
+        self._export(self._pf("CCPoSCommitment", l), commitment)
+        v_bytes = ctx.challenger.challenge(
+            ccpos_challenge_data(seed, commitment), ctx.vbitlen, ctx.rbitlen
+        )
+        reply_bt = ByteTree.from_bytes(b.wait_for(l, f"CCPoSReply{l}"))
+        verdict = V.verify(reply_bt, int.from_bytes(v_bytes, "big"))
+        if verdict:
+            self._export(self._pf("CCPoSReply", l), reply_bt)
+        return verdict
+
     # ----------------------------------------------------------- shuffle
 
     def shuffle(self, ciphertexts: PPArray, write_type: bool = True
                 ) -> PPArray:
-        """Online shuffle chain without precomputation
-        (reference: ShufflerElGamalSession.shuffle:362-433 +
+        """Online shuffle: commitment-consistent chain when
+        precomputation was run, plain PoS chain otherwise
+        (reference: MixNetElGamalSession.shuffle:208-246 dispatch;
+        ShufflerElGamalSession.shuffle:362-433 +
         performShuffling:250-352)."""
+        if self._precomp is not None:
+            return self.committed_shuffle(ciphertexts, write_type)
         party = self.party
         ctx = self.ctx
         n = ciphertexts.size

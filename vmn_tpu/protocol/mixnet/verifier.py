@@ -26,6 +26,16 @@ from vmn_tpu.protocol.hvzk.pos_tw import (
     pos_challenge_data,
     pos_seed_data,
 )
+from vmn_tpu.protocol.hvzk.posc_tw import (
+    PoSCVerifier,
+    posc_challenge_data,
+    posc_seed_data,
+)
+from vmn_tpu.protocol.hvzk.ccpos_w import (
+    CCPoSVerifier,
+    ccpos_challenge_data,
+    ccpos_seed_data,
+)
 from vmn_tpu.protocol.mixnet.party import (
     _batch_vector,
     _combine_factors,
@@ -175,8 +185,14 @@ class FiatShamirVerifier:
 
     def _verify_shuffling(self, ctx, width, ciph_group, ciphs, n,
                           active_threshold, fpk):
-        """Per-party PoS verification chain, replacing outputs by inputs
-        on failure (reference: ...FiatShamirSession.java:1397-1517)."""
+        """Per-party verification chain, replacing outputs by inputs on
+        failure (reference: ...FiatShamirSession.java:1397-1517).
+        Dispatches to the precomputation path (PoSC + CCPoS) when the
+        proof directory contains `maxciph`."""
+        if (self.proofs / "maxciph").exists():
+            return self._verify_shuffling_precomp(
+                ctx, width, ciph_group, ciphs, n, active_threshold, fpk
+            )
         generators = ctx.independent_generators("generators", n)
         self._tv("bas.h", generators.to_bytetree().to_bytes().hex())
         g = ctx.pgroup.g
@@ -236,6 +252,112 @@ class FiatShamirVerifier:
                 valid += 1
             else:
                 # Mirror the live protocol: replace output with input.
+                out = inp.copy_of_range(0, n)
+            inp = out
+
+        ok = valid >= self.par.threshold
+        return inp, ok
+
+    def _verify_shuffling_precomp(self, ctx, width, ciph_group, ciphs, n,
+                                  active_threshold, fpk):
+        """Precomputation-mode chain: PoSC over maxciph-sized
+        commitments, keep-list shrink, then CCPoS per party
+        (reference: ...FiatShamirSession.java:1404-1495)."""
+        import numpy as np
+
+        maxciph = int(self._read(self.proofs / "maxciph").decode().strip())
+        if maxciph < n:
+            self._fail("maxciph smaller than number of ciphertexts")
+        generators = ctx.independent_generators("generators", maxciph)
+        shrunk_generators = generators.copy_of_range(0, n)
+        g = ctx.pgroup.g
+        wide_pk_elem = fpk.widen(width).as_ciph_elem()
+        pos_par = PoSParams(ctx.vbitlen, ctx.ebitlen, ctx.rbitlen, ctx.prg)
+
+        inp = ciphs
+        valid = 0
+        for l in range(1, active_threshold + 1):
+            cc_file = self.proofs / f"CCPoSCommitment{l:02d}.bt"
+            if not cc_file.exists():
+                continue  # inactive party
+
+            verdict = True
+
+            # --- PoSC over the full-size commitment --------------------
+            u_file = self.proofs / f"PermutationCommitment{l:02d}.bt"
+            try:
+                perm_comm = ctx.pgroup.elem_from_bytetree(
+                    self._read_bt(u_file), maxciph
+                )
+            except (ByteTreeError, ValueError):
+                perm_comm = generators.copy_of_range(0, maxciph)
+            V = PoSCVerifier(pos_par)
+            V.set_instance(g, generators, perm_comm)
+            seed = ctx.challenger.challenge(
+                posc_seed_data(g, generators, perm_comm),
+                8 * ctx.prg.min_seed_bytes, ctx.rbitlen,
+            )
+            V.set_batch_vector(seed)
+            commitment = V.set_commitment(
+                self._read_bt(self.proofs / f"PoSCCommitment{l:02d}.bt")
+            )
+            v_bytes = ctx.challenger.challenge(
+                posc_challenge_data(seed, commitment),
+                ctx.vbitlen, ctx.rbitlen,
+            )
+            reply_file = self.proofs / f"PoSCReply{l:02d}.bt"
+            posc_ok = (
+                reply_file.exists()
+                and V.verify(self._read_bt(reply_file),
+                             int.from_bytes(v_bytes, "big"))
+            )
+            if not posc_ok:
+                verdict = False
+                perm_comm = generators.copy_of_range(0, maxciph)
+
+            # --- keep-list shrink -------------------------------------
+            kl_bt = self._read_bt(self.proofs / f"KeepList{l:02d}.bt")
+            keep = np.frombuffer(kl_bt.data, np.uint8).astype(bool)
+            if keep.shape[0] != maxciph or int(keep.sum()) != n:
+                self._fail(f"bad keep list of party {l}")
+            shrunk_comm = perm_comm.take(np.nonzero(keep)[0])
+
+            # --- output + CCPoS ---------------------------------------
+            out_file = self.proofs / f"Ciphertexts{l:02d}.bt"
+            if l == active_threshold and not out_file.exists():
+                out_file = self.nizkp / "ShuffledCiphertexts.bt"
+            try:
+                out = ciph_group.elem_from_bytetree(
+                    self._read_bt(out_file), n
+                )
+            except (ByteTreeError, ValueError):
+                self._fail(f"malformed output list of party {l}")
+
+            CV = CCPoSVerifier(pos_par)
+            CV.set_instance(g, shrunk_generators, shrunk_comm,
+                            wide_pk_elem, inp, out)
+            seed = ctx.challenger.challenge(
+                ccpos_seed_data(g, shrunk_generators, shrunk_comm,
+                                wide_pk_elem, inp, out),
+                8 * ctx.prg.min_seed_bytes, ctx.rbitlen,
+            )
+            CV.set_batch_vector(seed)
+            CV.compute_AB()
+            commitment = CV.set_commitment(self._read_bt(cc_file))
+            v_bytes = ctx.challenger.challenge(
+                ccpos_challenge_data(seed, commitment),
+                ctx.vbitlen, ctx.rbitlen,
+            )
+            r_file = self.proofs / f"CCPoSReply{l:02d}.bt"
+            cc_ok = (
+                r_file.exists()
+                and CV.verify(self._read_bt(r_file),
+                              int.from_bytes(v_bytes, "big"))
+            )
+            verdict = verdict and cc_ok
+            if verdict:
+                valid += 1
+            else:
                 out = inp.copy_of_range(0, n)
             inp = out
 
