@@ -201,23 +201,32 @@ def mont_exp(base, e, m, mprime, one_mont, nbits: int):
 
     one = jnp.broadcast_to(one_mont, shape + (L,))
 
-    # Table of base^d for d in [0, 16).
-    tbl = [one, base]
-    for _ in range(2, 1 << _WINDOW):
-        tbl.append(_mont_mul(tbl[-1], base, m, mprime))
-    table = jnp.stack(tbl, axis=-2)  # (..., 16, L)
+    # Table of base^d for d in [0, 16), built with a scan so the body
+    # is traced once (compile-time matters: this graph nests in every
+    # group operation).
+    def tbl_step(prev, _):
+        nxt = _mont_mul(prev, base, m, mprime)
+        return nxt, nxt
+
+    _, tail = jax.lax.scan(
+        tbl_step, base, None, length=(1 << _WINDOW) - 2
+    )
+    table = jnp.concatenate(
+        [one[None], base[None], tail], axis=0
+    )  # (16, ..., L)
 
     ndig = (nbits + _WINDOW - 1) // _WINDOW
 
     def body(k, acc):
         j = ndig - 1 - k
-        for _ in range(_WINDOW):
-            acc = _mont_mul(acc, acc, m, mprime)
+        acc = jax.lax.fori_loop(
+            0, _WINDOW, lambda _, a: _mont_mul(a, a, m, mprime), acc
+        )
         dig = _digit(e, j)
-        idx = jnp.broadcast_to(dig[..., None, None], shape + (1, L))
-        fac = jnp.take_along_axis(table, idx.astype(jnp.int32), axis=-2)[
-            ..., 0, :
-        ]
+        idx = jnp.broadcast_to(
+            dig[None, ..., None].astype(jnp.int32), (1,) + shape + (L,)
+        )
+        fac = jnp.take_along_axis(table, idx, axis=0)[0]
         return _mont_mul(acc, fac, m, mprime)
 
     return jax.lax.fori_loop(0, ndig, body, one)

@@ -56,6 +56,18 @@ def _bytelen(n: int) -> int:
     return n.bit_length() // 8 + 1
 
 
+def _range_check_be(raw: np.ndarray, p: int, bytelen: int) -> bool:
+    """Vectorized check that every (bytelen,)-row satisfies 0 < x < p."""
+    pb = np.frombuffer(p.to_bytes(bytelen, "big"), np.uint8)
+    # lexicographic big-endian compare row < pb
+    diff = raw.astype(np.int16) - pb.astype(np.int16)
+    first_nz = (diff != 0).argmax(axis=1)
+    rows = np.arange(raw.shape[0])
+    lt = diff[rows, first_nz] < 0  # equal rows give diff 0 -> not <
+    nonzero = raw.any(axis=1)
+    return bool((lt & nonzero).all())
+
+
 # =====================================================================
 # Permutation
 # =====================================================================
@@ -438,42 +450,38 @@ class ModPGroup:
     # --------------------------------------------------------- serialize
 
     def elem_to_bytetree(self, ga: "GArray") -> ByteTree:
+        from vmn_tpu.eio.bytetree import array_leaf_node
+
         arr = np.asarray(self.ctx.from_mont(ga.limbs))
         if arr.ndim == 1:
             return leaf(limbs_to_bytes_be(arr[None], self.bytelen)[0].tobytes())
         b = limbs_to_bytes_be(arr.reshape(-1, self.L), self.bytelen)
-        return node(*[leaf(b[i].tobytes()) for i in range(b.shape[0])])
+        return array_leaf_node(b)
 
     def elem_from_bytetree(
         self, bt: ByteTree, size: Optional[int] = None, validate: bool = True
     ) -> "GArray":
         """Parse element/array; validates subgroup membership x^q == 1
         (reference: ModPGroup.toElementArray verifies membership)."""
-        if bt.is_leaf:
-            kids = [bt]
-            scalar = True
+        from vmn_tpu.eio.bytetree import parse_uniform_array
+
+        scalar = bt.is_leaf
+        if scalar:
+            if len(bt.data) != self.bytelen:
+                raise ByteTreeError("wrong element byte length")
+            raw = np.frombuffer(bt.data, np.uint8)[None]
         else:
-            kids = list(bt.children)
-            scalar = False
-            if size is not None and len(kids) != size:
+            raw = parse_uniform_array(bt)
+            if raw is None or raw.shape[1] != self.bytelen:
+                raise ByteTreeError("malformed element array")
+            if size is not None and raw.shape[0] != size:
                 raise ByteTreeError(
-                    f"wrong array length {len(kids)} != {size}"
+                    f"wrong array length {raw.shape[0]} != {size}"
                 )
-        raw = np.stack(
-            [
-                np.frombuffer(
-                    k.data.rjust(self.bytelen, b"\x00"), np.uint8
-                )
-                for k in kids
-            ]
-        )
-        if any(len(k.data) != self.bytelen for k in kids):
-            raise ByteTreeError("wrong element byte length")
         limbs = bytes_be_to_limbs(raw, self.L)
-        # range check on host
-        for x in limbs_to_ints(limbs):
-            if not (0 < x < self.p):
-                raise ByteTreeError("element out of range")
+        # vectorized range check: 0 < x < p
+        if not _range_check_be(raw, self.p, self.bytelen):
+            raise ByteTreeError("element out of range")
         ga = GArray(self, self.ctx.to_mont(jnp.asarray(limbs)))
         if validate and not ga.is_in_group():
             raise ByteTreeError("element not in subgroup")
@@ -1068,3 +1076,9 @@ _NAMED_GROUPS = {
     "modp3072": (_RFC3526_3072, 4),
     "modp4096": (_RFC3526_4096, 4),
 }
+
+# Register groups for unmarshalling from config strings
+# (reference: Marshalizer registry, ProtocolElGamal.java:352-434).
+from vmn_tpu.eio.marshal import register as _register  # noqa: E402
+
+_register(ModPGroup.MARSHAL_NAME)(ModPGroup)

@@ -216,6 +216,132 @@ class ByteTree:
         return f"{pad}[\n{inner}\n{pad}]"
 
 
+class RawByteTree(ByteTree):
+    """A byte tree held in pre-serialized form.
+
+    Used for the hot path: a node of N uniform leaves (a group-element
+    array) is built in one native/numpy pass instead of N Python leaf
+    objects.  Structural accessors parse lazily on first use.
+    """
+
+    __slots__ = ("_raw", "_parsed")
+
+    def __init__(self, raw: bytes):
+        self._raw = bytes(raw)
+        self._parsed = None
+        self._data = None
+        self._children = None
+
+    def _ensure(self):
+        if self._parsed is None:
+            self._parsed = ByteTree.from_bytes(self._raw)
+        return self._parsed
+
+    @property
+    def is_leaf(self) -> bool:
+        return self._raw[0:1] == b"\x01"
+
+    @property
+    def data(self) -> bytes:
+        return self._ensure().data
+
+    @property
+    def children(self) -> tuple:
+        return self._ensure().children
+
+    def write_to(self, out) -> None:
+        out.write(self._raw)
+
+    def to_bytes(self) -> bytes:
+        return self._raw
+
+    def total_size(self) -> int:
+        return len(self._raw)
+
+
+def array_leaf_node(elems) -> RawByteTree:
+    """(n, eb) uint8 matrix -> node of n uniform eb-byte leaves,
+    serialized in one pass (native C++ when available, numpy strided
+    assembly otherwise)."""
+    import numpy as np
+
+    elems = np.ascontiguousarray(elems, dtype=np.uint8)
+    n, eb = elems.shape
+    lib = _native()
+    if lib is not None:
+        out = ctypes.create_string_buffer(lib.bt_encoded_size(n, eb))
+        written = lib.bt_encode_array(
+            elems.tobytes(), n, eb, out
+        )
+        return RawByteTree(out.raw[:written])
+    # numpy fallback: build the record array [tag|len|payload] per row
+    rec = np.zeros((n, 5 + eb), dtype=np.uint8)
+    rec[:, 0] = LEAF_TAG
+    rec[:, 1:5] = np.frombuffer(
+        struct.pack(">I", eb), dtype=np.uint8
+    )
+    rec[:, 5:] = elems
+    head = struct.pack(">BI", NODE_TAG, n)
+    return RawByteTree(head + rec.tobytes())
+
+
+def parse_uniform_array(bt: ByteTree):
+    """If `bt` is a node of uniform-length leaves, return an (n, eb)
+    uint8 matrix; otherwise None.  One-pass native/numpy parse when the
+    input is a RawByteTree."""
+    import numpy as np
+
+    if isinstance(bt, RawByteTree):
+        raw = bt.to_bytes()
+        lib = _native()
+        if lib is not None:
+            n = ctypes.c_size_t()
+            eb = ctypes.c_size_t()
+            if lib.bt_probe_array(raw, len(raw), ctypes.byref(n),
+                                  ctypes.byref(eb)) == 0:
+                out = ctypes.create_string_buffer(n.value * eb.value)
+                got_n = ctypes.c_size_t()
+                if lib.bt_decode_array(raw, len(raw), eb.value, out,
+                                       ctypes.byref(got_n)) == 0:
+                    return np.frombuffer(
+                        out.raw, dtype=np.uint8
+                    ).reshape(n.value, eb.value)
+        # numpy fallback on raw bytes
+        if len(raw) >= 10 and raw[0] == NODE_TAG and raw[5] == LEAF_TAG:
+            (n,) = struct.unpack_from(">I", raw, 1)
+            (eb,) = struct.unpack_from(">I", raw, 6)
+            if len(raw) == 5 + n * (5 + eb):
+                rec = np.frombuffer(
+                    raw, dtype=np.uint8, offset=5
+                ).reshape(n, 5 + eb)
+                if (rec[:, 0] == LEAF_TAG).all():
+                    return np.ascontiguousarray(rec[:, 5:])
+        return None
+    if bt.is_leaf or not bt.children:
+        return None
+    kids = bt.children
+    if not all(c.is_leaf for c in kids):
+        return None
+    eb = len(kids[0].data)
+    if any(len(c.data) != eb for c in kids):
+        return None
+    return np.frombuffer(
+        b"".join(c.data for c in kids), dtype=np.uint8
+    ).reshape(len(kids), eb)
+
+
+def _native():
+    try:
+        from vmn_tpu.native.build import get_lib
+
+        return get_lib()
+    except Exception:  # pragma: no cover - defensive
+        return None
+
+
+import ctypes  # noqa: E402
+
+
 # ----------------------------------------------------------------- builders
 
 

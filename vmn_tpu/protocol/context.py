@@ -58,7 +58,7 @@ class ProtocolParams:
             self.rohash_string = self.rohash_name
         if self.pgroup_string is None:
             self.pgroup_string = marshal_hex(
-                self.pgroup, "ModPGroup"
+                self.pgroup, type(self.pgroup).__name__
             )
 
 

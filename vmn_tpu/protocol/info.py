@@ -106,9 +106,15 @@ class ProtocolInfo:
     # -------------------------------------------------------- semantics
 
     def group(self):
-        """Instantiate the configured group."""
+        """Instantiate the configured group: `named:<name>` resolves
+        modp* names and NIST curve names; otherwise marshalled hex."""
         if self.pgroup.startswith("named:"):
-            return ModPGroup.named(self.pgroup[len("named:"):])
+            name = self.pgroup[len("named:"):]
+            if name.startswith("P-"):
+                from vmn_tpu.arith.ec import ECqPGroup
+
+                return ECqPGroup.named(name)
+            return ModPGroup.named(name)
         return unmarshal_hex(self.pgroup)
 
     def to_params(self) -> ProtocolParams:
