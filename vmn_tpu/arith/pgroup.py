@@ -768,6 +768,13 @@ class PPRing:
             tuple(f.random(shape, randomsource, rbitlen) for f in self.factors),
         )
 
+    def from_ints(self, xs) -> "PPFArray":
+        """Same integer values in every component (diagonal embedding)."""
+        return PPFArray(self, tuple(f.from_ints(xs) for f in self.factors))
+
+    def from_int(self, x: int) -> "PPFArray":
+        return PPFArray(self, tuple(f.from_int(x) for f in self.factors))
+
     def zeros(self, shape=()) -> "PPFArray":
         return PPFArray(self, tuple(f.zeros(shape) for f in self.factors))
 

@@ -10,6 +10,8 @@ SURVEY.md §2.2):
     vmnd   demo key/ciphertext generator    (vmn_tpu.cli.vmnd)
     vre    key/ciphertext re-arrangement    (vmn_tpu.cli.vre)
     vbt    byte-tree dump                   (vmn_tpu.cli.vbt)
+    vdemo  simulated multi-party demo       (vmn_tpu.cli.vdemo)
+    vhttp  standalone board HTTP server     (vmn_tpu.cli.vhttp)
 
 Usage: python -m vmn_tpu.cli.main <command> [args...]
 Each command is also runnable as python -m vmn_tpu.cli.<command>.
@@ -19,7 +21,8 @@ from __future__ import annotations
 
 import sys
 
-_COMMANDS = ("vmni", "vmn", "vmnv", "vmnc", "vmnd", "vre", "vbt")
+_COMMANDS = ("vmni", "vmn", "vmnv", "vmnc", "vmnd", "vre", "vbt",
+             "vdemo", "vhttp")
 
 
 def main(argv=None) -> int:

@@ -82,18 +82,35 @@ def _save_keys(party, priv):
         pickle.dump(st, f)
 
 
+def _save_external_pk(party, priv, pk):
+    """Persist an externally set public key (reference:
+    MixNetElGamal.setPublicKey:227-242 writes the key to disk)."""
+    _state_file(priv).parent.mkdir(parents=True, exist_ok=True)
+    with open(_state_file(priv), "wb") as f:
+        pickle.dump({"extpk": pk.to_bytetree().to_bytes()}, f)
+
+
 def _load_keys(party, priv):
     import jax.numpy as jnp
 
     from vmn_tpu.arith.pgroup import FArray, GArray
+    from vmn_tpu.eio.bytetree import ByteTree
     from vmn_tpu.protocol.distr.dkg import DKGResult
+    from vmn_tpu.protocol.elgamal import ElGamalPublicKey
 
     path = _state_file(priv)
     if not path.exists():
-        raise SystemExit("no key state; run vmn -keygen first")
+        raise SystemExit("no key state; run vmn -keygen or -setpk first")
     with open(path, "rb") as f:
         st = pickle.load(f)
     group = party.ctx.key_group()
+    if "extpk" in st:
+        party.set_public_key(
+            ElGamalPublicKey.from_bytetree(
+                group, ByteTree.from_bytes(st["extpk"])
+            )
+        )
+        return
     party.dkg = DKGResult(
         group,
         FArray(group.ring, jnp.asarray(st["share"])),
@@ -169,6 +186,15 @@ def main(argv=None) -> int:
         _postlude(party, t0)
         return 0
 
+    if args.setpk:
+        if len(args.files) < 3:
+            raise SystemExit("public key file required")
+        pk = iface_in.read_public_key(party.ctx.key_group(), args.files[2])
+        party.set_public_key(pk)
+        _save_external_pk(party, priv, pk)
+        _postlude(party, t0)
+        return 0
+
     _load_keys(party, priv)
     session = party.session(args.auxsid, width)
     ciph_group = party.ctx.session(args.auxsid).ciph_group(width)
@@ -199,8 +225,10 @@ def main(argv=None) -> int:
 
 
 def _postlude(party, t0):
-    """Timing/communication report
-    (reference: MixNetElGamalTool.postlude:130-207)."""
+    """Timing/communication/proof-size report
+    (reference: MixNetElGamalTool.postlude:130-207; proof size =
+    recursive nizkp directory size, ProtocolElGamal.getNizkpBytes
+    :591-602)."""
     b = party.board
     total = time.time() - t0
     waiting = getattr(b, "waiting_time", 0.0)
@@ -209,6 +237,15 @@ def _postlude(party, t0):
     print(f"Computation:     {total - waiting:10.3f} s")
     print(f"Sent bytes:      {getattr(b, 'sent_bytes', 0):10d}")
     print(f"Received bytes:  {getattr(b, 'received_bytes', 0):10d}")
+    if party.directory is not None:
+        nizkp_bytes = sum(
+            f.stat().st_size
+            for d in Path(party.directory).glob("nizkp.*")
+            for f in d.rglob("*")
+            if f.is_file()
+        )
+        if nizkp_bytes:
+            print(f"Proof size:      {nizkp_bytes:10d} bytes")
 
 
 if __name__ == "__main__":

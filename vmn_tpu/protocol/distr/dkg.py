@@ -95,53 +95,26 @@ def run_dkg(
     cipher: Optional[object] = None,
 ) -> DKGResult:
     """Run DKG as party `board.j` among `board.k` parties with threshold
-    ctx.par.threshold.  Returns this party's share and the joint
-    polynomial in exponent."""
-    cipher = cipher or IdentityCipher()
+    ctx.par.threshold: the first `threshold` parties deal a random
+    secret through Pedersen VSS (with the complaint/accusation path of
+    Pedersen.java:820), the instances are collapsed into one joint key
+    (reference: DKG.generate:141-215)."""
+    from vmn_tpu.protocol.secretsharing.pedersen import (
+        run_pedersen_sequential,
+    )
+
     group = ctx.key_group()
-    j = board.j
-    k = board.k
     t = ctx.par.threshold
-    b = board.scope("dkg")
-
-    # --- Deal: first t parties deal a secret ---------------------------
-    my_coeffs = None
-    if j <= t:
-        my_coeffs = group.ring.random((t,), randomsource, ctx.rbitlen)
-        poly = _g_exp(group, my_coeffs)
-        b.publish("Polynomial", poly.to_bytetree().to_bytes())
-        # shares s_{j->i} = P_j(i)
-        for i in range(1, k + 1):
-            s = _eval_poly(my_coeffs, i)
-            data = s.to_bytetree().to_bytes()
-            b.publish(f"Share{i:02d}", cipher.encrypt(i, data))
-
-    # --- Receive: collect polynomials and own shares -------------------
-    polys: List[GArray] = []
-    share_sum = group.ring.zeros(())
-    for l in range(1, t + 1):
-        if l == j:
-            poly_l = _g_exp(group, my_coeffs)
-            s_l = _eval_poly(my_coeffs, j)
-        else:
-            poly_bt = ByteTree.from_bytes(b.wait_for(l, "Polynomial"))
-            poly_l = group.elem_from_bytetree(poly_bt, t)
-            raw = cipher.decrypt(b.wait_for(l, f"Share{j:02d}"))
-            s_l = group.ring.from_bytetree(ByteTree.from_bytes(raw))
-            # Feldman check: g^{s} == prod_m c_{l,m}^{j^m}
-            if not _g_exp_scalar(group, s_l).equals(
-                evaluate_poly_in_exp(poly_l, j)
-            ):
-                raise DKGError(f"invalid share from party {l}")
-        polys.append(poly_l)
-        share_sum = share_sum.add(s_l)
-
-    # --- Collapse (reference: DKG.java:177-186) ------------------------
-    joint = polys[0]
-    for p in polys[1:]:
-        joint = joint.mul(p)
-
-    return DKGResult(group, share_sum, joint, k)
+    seq = run_pedersen_sequential(
+        ctx,
+        board.scope("dkg"),
+        randomsource,
+        dealers=range(1, t + 1),
+        cipher=cipher or IdentityCipher(),
+        group=group,
+        threshold=t,
+    )
+    return DKGResult(group, seq.share, seq.poly_in_exp, board.k)
 
 
 def _eval_poly(coeffs: FArray, i: int) -> FArray:

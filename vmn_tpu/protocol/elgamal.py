@@ -75,7 +75,7 @@ class ElGamalPublicKey:
 
     @property
     def group(self):
-        return self.g.grp if isinstance(self.g, GArray) else self.g.parent
+        return self.g.grp
 
     def widen(self, width: int) -> "ElGamalPublicKey":
         return ElGamalPublicKey(widen(self.g, width), widen(self.y, width))
@@ -122,8 +122,7 @@ def encrypt(
     """
     u = pk.g.exp(r)
     v = pk.y.exp(r).mul(m)
-    grp = m.grp if isinstance(m, GArray) else m.parent
-    return PPArray(PPGroup(grp, 2), (u, v))
+    return PPArray(PPGroup(m.grp, 2), (u, v))
 
 
 def reencryption_factors(wide_pk: ElGamalPublicKey, r) -> PPArray:
@@ -131,8 +130,7 @@ def reencryption_factors(wide_pk: ElGamalPublicKey, r) -> PPArray:
     (reference: ShufflerElGamalSession.java:407 widePublicKey.exp(r))."""
     u = wide_pk.g.exp(r)
     v = wide_pk.y.exp(r)
-    grp = u.grp if isinstance(u, GArray) else u.parent
-    return PPArray(PPGroup(grp, 2), (u, v))
+    return PPArray(PPGroup(u.grp, 2), (u, v))
 
 
 def reencrypt(ciphs: PPArray, factors: PPArray) -> PPArray:

@@ -299,15 +299,12 @@ def _plain_ring(pkey):
     """The ring of the plaintext group: pkey = ((g..),(y..)) in
     PPGroup(plain, 2); its first component's group ring
     (reference: PoSBasicTW.java:687 pkey.project(0).getPGroup().getPRing())."""
-    comp = pkey.project(0)
-    if isinstance(comp, GArray):
-        return comp.grp.ring
-    return comp.parent.ring
+    return pkey.project(0).grp.ring
 
 
 def _ciph_group_of(pkey):
     """The group that Fp lives in = pkey's own (ciphertext) group."""
-    return pkey.parent
+    return pkey.grp
 
 
 def pos_seed_data(g, h, u, pkey, w, wp) -> ByteTree:

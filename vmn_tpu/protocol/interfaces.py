@@ -172,6 +172,38 @@ class JSONDecodeInterface(JSONInterface):
         )
 
 
+class SeqJSONInterface(JSONInterface):
+    """Newline-separated JSON objects, one ciphertext per line
+    (reference: ProtocolElGamalInterfaceSeqJSON)."""
+
+    NAME = "seqjson"
+
+    def write_ciphertexts(self, ciphs: PPArray, path) -> None:
+        comps = _flatten(ciphs)
+        cols = [c.to_ints() for c in comps]
+        lines = [
+            _json.dumps([str(col[i]) for col in cols])
+            for i in range(len(cols[0]))
+        ]
+        Path(path).write_text("\n".join(lines) + "\n")
+
+    def read_ciphertexts(self, ciph_group, path) -> PPArray:
+        rows = [
+            _json.loads(ln)
+            for ln in Path(path).read_text().splitlines()
+            if ln.strip()
+        ]
+        ncomp = len(rows[0])
+        base = ciph_group
+        while isinstance(base, PPGroup):
+            base = base.project(0)
+        cols = [
+            base.from_ints([int(r[c]) for r in rows])
+            for c in range(ncomp)
+        ]
+        return _unflatten(ciph_group, cols)
+
+
 class SeqHexInterface(RawInterface):
     """Newline-separated hex byte trees, one ciphertext per line
     (reference: ProtocolElGamalInterfaceSeqHex)."""
@@ -232,7 +264,7 @@ def decode_plaintexts(plain) -> List[bytes]:
 _REGISTRY = {
     c.NAME: c
     for c in (RawInterface, NativeInterface, JSONInterface,
-              JSONDecodeInterface, SeqHexInterface)
+              JSONDecodeInterface, SeqHexInterface, SeqJSONInterface)
 }
 
 

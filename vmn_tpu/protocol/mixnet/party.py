@@ -93,18 +93,43 @@ class MixNetParty:
         self.rs = randomsource
         self.directory = Path(directory) if directory else None
         self.cipher = cipher
+        self.plainkeys = None
         self.dkg: Optional[dkg_mod.DKGResult] = None
+        self.external_pk: Optional["elgamal.ElGamalPublicKey"] = None
         self.active = [True] * (self.k + 1)  # 1-based; [0] unused
+
+    # ------------------------------------------------------------- setup
+
+    def setup(self) -> None:
+        """Establish the point-to-point CCA2 keys (PlainKeys) used to
+        protect VSS shares, once per protocol instance (reference:
+        ProtocolElGamal.setup:807-832 runs PlainKeys ->
+        IndependentGenerator -> CoinFlipPRingSource -> challenger)."""
+        if self.cipher is None and self.k > 1:
+            from vmn_tpu.protocol.distr.plainkeys import run_plainkeys
+
+            self.plainkeys = run_plainkeys(self.ctx, self.board, self.rs)
+            self.cipher = self.plainkeys.cipher(self.rs)
 
     # ------------------------------------------------------------ keygen
 
     def keygen(self) -> "elgamal.ElGamalPublicKey":
         """Run DKG; returns the full public key (g, y)
         (reference: MixNetElGamal.generatePublicKey:195-209)."""
+        self.setup()
         self.dkg = dkg_mod.run_dkg(self.ctx, self.board, self.rs, self.cipher)
         return self.full_public_key()
 
+    def set_public_key(self, pk: "elgamal.ElGamalPublicKey") -> None:
+        """External-key mode: shuffle against a key generated elsewhere
+        — no secret shares, so only shuffle sessions are allowed
+        (reference: MixNetElGamal.setPublicKey:227-242)."""
+        self.external_pk = pk
+        self.dkg = None
+
     def full_public_key(self) -> "elgamal.ElGamalPublicKey":
+        if self.external_pk is not None:
+            return self.external_pk
         g = self.ctx.key_group().g
         return elgamal.ElGamalPublicKey(g, self.dkg.joint_public_key)
 
@@ -167,6 +192,18 @@ class MixSession:
         self.width = width
         self.ctx = party.ctx.session(auxsid)
         self.board = party.board.scope(f"session.{auxsid}")
+        if not party.par.noninteractive:
+            # Interactive mode: challenges are jointly flipped coins
+            # (reference: ChallengerI.java:53-60; selected by the
+            # `corr` info field, ProtocolElGamal.java:825-831).
+            from vmn_tpu.protocol.coinflip import (
+                ChallengerI,
+                CoinFlipPRingSource,
+            )
+
+            self.ctx.challenger = ChallengerI(
+                CoinFlipPRingSource(self.board.scope("coins"), party.rs)
+            )
         self.nizkp = nizkp
         self._precomp: Optional[_PrecompState] = None
         self.proofs = nizkp / "proofs" if nizkp else None
@@ -635,6 +672,10 @@ class MixSession:
         """Distributed verifiable decryption
         (reference: DistrElGamalSession.decrypt:344-540)."""
         party = self.party
+        if party.external_pk is not None:
+            raise ProtocolError(
+                "decryption impossible with an externally set public key"
+            )
         ctx = self.ctx
         k = self.k
         threshold = party.par.threshold
