@@ -211,15 +211,20 @@ def main(argv=None) -> int:
         raise SystemExit("input and output files required")
     ciphs = iface_in.read_ciphertexts(ciph_group, args.files[2])
 
-    if args.mix:
-        out = session.mix(ciphs)
-        iface_out.write_plaintexts(out, args.files[3])
-    elif args.shuffle:
-        out = session.shuffle(ciphs)
-        iface_out.write_ciphertexts(out, args.files[3])
-    elif args.decrypt:
-        out = session.decrypt(ciphs)
-        iface_out.write_plaintexts(out, args.files[3])
+    from vmn_tpu.protocol.mixnet.party import ProtocolError
+
+    try:
+        if args.mix:
+            out = session.mix(ciphs)
+            iface_out.write_plaintexts(out, args.files[3])
+        elif args.shuffle:
+            out = session.shuffle(ciphs)
+            iface_out.write_ciphertexts(out, args.files[3])
+        elif args.decrypt:
+            out = session.decrypt(ciphs)
+            iface_out.write_plaintexts(out, args.files[3])
+    except ProtocolError as e:
+        raise SystemExit(f"vmn: {e}")
     _postlude(party, t0)
     return 0
 
