@@ -30,6 +30,7 @@ on CPU and as fallback.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -278,6 +279,35 @@ def _fixed_base_exp(table, e, m, mprime, one_mont, ndig: int, fb_window: int):
     return jax.lax.fori_loop(0, ndig, body, acc)
 
 
+# ------------------------------------------------------- pallas dispatch
+
+_PALLAS_ENABLED: Optional[bool] = None
+
+
+def use_pallas() -> bool:
+    """True when the Pallas TPU kernels should serve the hot ops.
+
+    On the TPU backend the fused kernels are ~8x faster than the XLA
+    fallback; on CPU (tests, verifier-only hosts) the portable XLA path
+    runs.  Override with VMN_NO_PALLAS=1.
+    """
+    global _PALLAS_ENABLED
+    if _PALLAS_ENABLED is None:
+        _PALLAS_ENABLED = (
+            not os.environ.get("VMN_NO_PALLAS")
+            and jax.default_backend() == "tpu"
+        )
+    return _PALLAS_ENABLED
+
+
+def _flatten_pair(a, e, L):
+    """Broadcast leading dims of (.., L) x (.., Le) and flatten to 2D."""
+    shape = jnp.broadcast_shapes(a.shape[:-1], e.shape[:-1])
+    a = jnp.broadcast_to(a, shape + a.shape[-1:]).reshape(-1, a.shape[-1])
+    e = jnp.broadcast_to(e, shape + e.shape[-1:]).reshape(-1, e.shape[-1])
+    return shape, a, e
+
+
 # ---------------------------------------------------------------- context
 
 
@@ -307,6 +337,7 @@ class MontCtx:
         self.one = jnp.asarray(int_to_limbs(1, self.L))
         self.zero = jnp.asarray(int_to_limbs(0, self.L))
         self._fb_tables = {}
+        self._known_ints = {}
 
     # -------------------------------------------------------- conversions
 
@@ -339,6 +370,13 @@ class MontCtx:
     # --------------------------------------------------------- operations
 
     def mul(self, a, b):
+        if use_pallas() and (a.ndim > 1 or b.ndim > 1):
+            from vmn_tpu.ops.mont_kernels import mont_mul_pallas
+
+            shape, a2, b2 = _flatten_pair(a, b, self.L)
+            if a2.shape[0] > 0:
+                out = mont_mul_pallas(a2, b2, self.m_limbs, self.mprime)
+                return out.reshape(shape + (self.L,))
         return mont_mul(a, b, self.m_limbs, self.mprime)
 
     def add(self, a, b):
@@ -352,12 +390,30 @@ class MontCtx:
 
     def exp(self, base, e, nbits: Optional[int] = None):
         nbits = self.nbits if nbits is None else nbits
+        if use_pallas():
+            from vmn_tpu.ops.mont_kernels import mont_exp_pallas
+
+            if base.ndim == 1 and e.ndim > 1:
+                # shared base: route to the fixed-base kernel (no
+                # squarings) when the base is host-known
+                bi = self.known_int(base)
+                if bi is not None:
+                    return self.exp_fixed(bi, e, nbits)
+            shape, b2, e2 = _flatten_pair(base, e, self.L)
+            if b2.shape[0] > 0:
+                out = mont_exp_pallas(
+                    b2, e2, self.m_limbs, self.mprime, self.one_mont, nbits
+                )
+                return out.reshape(shape + (self.L,))
         return mont_exp(
             base, e, self.m_limbs, self.mprime, self.one_mont, nbits
         )
 
     def expprod(self, bases, e, nbits: Optional[int] = None):
         nbits = self.nbits if nbits is None else nbits
+        if use_pallas():
+            powers = self.exp(bases, e, nbits)
+            return self.prod(powers, axis=0)
         return mont_expprod(
             bases, e, self.m_limbs, self.mprime, self.one_mont, nbits
         )
@@ -372,6 +428,66 @@ class MontCtx:
         return self.exp(a, e, e_int.bit_length())
 
     # -------------------------------------------------------- fixed base
+
+    def fb_table_pallas(self, base_int: int, nbits: int):
+        """(ndig, 16, L) Montgomery-form window-4 fixed-base table."""
+        key = ("pallas4", base_int, nbits)
+        tbl = self._fb_tables.get(key)
+        if tbl is None:
+            ndig = max(1, (nbits + 3) // 4)
+            rows = np.empty((ndig, 16, self.L), dtype=np.uint32)
+            m = self.m
+            R = self.R
+            gj = base_int % m
+            one_mont = R % m
+            one_limbs = int_to_limbs(one_mont, self.L)
+            for j in range(ndig):
+                rows[j, 0] = one_limbs
+                val = 1
+                for d in range(1, 16):
+                    val = val * gj % m
+                    rows[j, d] = int_to_limbs(val * R % m, self.L)
+                gj = pow(gj, 16, m)
+            tbl = jnp.asarray(rows)
+            self._fb_tables[key] = tbl
+        return tbl
+
+    def exp_fixed(self, base_int: int, e, nbits: Optional[int] = None):
+        """base^e for a shared (host-known) integer base.
+
+        On TPU this runs the fixed-base Pallas kernel (no squarings);
+        elsewhere the XLA shared-table path.  `e`: (..., Le) standard
+        limbs.
+        """
+        nbits = self.nbits if nbits is None else nbits
+        if use_pallas():
+            from vmn_tpu.ops.mont_kernels import mont_fb_exp_pallas
+
+            table = self.fb_table_pallas(base_int, nbits)
+            shape = e.shape[:-1]
+            e2 = e.reshape(-1, e.shape[-1])
+            if e2.shape[0] > 0:
+                out = mont_fb_exp_pallas(
+                    table, e2, self.m_limbs, self.mprime, self.one_mont
+                )
+                return out.reshape(shape + (self.L,))
+        return self.fixed_base_exp(base_int, e, nbits)
+
+    def known_int(self, limbs) -> Optional[int]:
+        """Concrete Montgomery-form (L,) limbs -> int, cached by bytes.
+
+        Returns None for traced values (inside jit).  Used to route
+        shared-base exponentiations onto the fixed-base path.
+        """
+        if isinstance(limbs, jax.core.Tracer):
+            return None
+        raw = np.asarray(limbs)
+        key = raw.tobytes()
+        val = self._known_ints.get(key)
+        if val is None:
+            val = limbs_to_int(np.asarray(self.from_mont(limbs)))
+            self._known_ints[key] = val
+        return val
 
     def fixed_base_table(self, base_int: int, max_ebits: int, window: int = 8):
         """Build (or fetch cached) shared fixed-base table for `base_int`."""

@@ -1,18 +1,27 @@
-"""Pallas TPU kernel for batched Montgomery multiplication.
+"""Pallas TPU kernels for batched Montgomery arithmetic.
 
 The single hottest primitive of the whole framework: every group
 operation reduces to streams of (N, L)-batched Montgomery products
-(reference equivalent: gmpmee's mpz_powm loops, SURVEY.md §2.3).
+(reference equivalent: gmpmee's mpz_powm / spowm loops, SURVEY.md §2.3).
 
-Layout inside the kernel is **limb-major**: a tile is a (L, TN) uint32
+Layout inside the kernels is **limb-major**: a tile is a (L, TN) uint32
 matrix — limbs on sublanes, batch elements on lanes.  This makes the
 CIOS limb recurrence a *sublane* shift (cheap) and keeps every lane
 fully independent; the per-iteration dynamic index (current limb of
 `a`) is a dynamic sublane slice, which Mosaic supports (dynamic *lane*
 slices must be 128-aligned and are not).
 
-The final carry resolution + conditional subtraction is a sequential
-O(L) sublane scan per tile, fused into the same kernel.
+Two layers:
+  * `mont_mul_pallas` — one batched product (canonical in/out).
+  * `mont_exp_pallas` — the entire fixed-window exponentiation fused in
+    one kernel: the 16-entry power table, the accumulator and all
+    ~5·nbits/4 Montgomery products stay resident in VMEM; nothing
+    round-trips through HBM between products.  Digit selection is a
+    constant-time masked sum over the table (per-lane gathers are not a
+    TPU-friendly primitive; 16 fused multiply-selects are ~1% of the
+    product cost).  Carry resolution and the conditional final
+    subtraction use log-depth Kogge-Stone generate/propagate scans over
+    the sublane (limb) axis instead of a sequential O(L) loop.
 """
 
 from __future__ import annotations
@@ -26,74 +35,136 @@ from jax.experimental.pallas import tpu as pltpu
 
 from vmn_tpu.arith.limbs import LIMB_BITS, LIMB_MASK
 
-TILE_N = 512  # batch lanes per grid step (multiple of 128)
+TILE_N = 256  # batch lanes per grid step (multiple of 128)
+_WINDOW = 4  # fixed window size; 16-entry table
 
 
-def _mont_mul_kernel(a_ref, b_ref, m_ref, mp_ref, out_ref, t_ref):
-    """One batch tile: out = a*b*R^{-1} mod m, all (L, TN) limb-major.
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
-    t_ref: (L + 1, TN) uint32 scratch — lazy accumulator (< 2^26).
+
+# ---------------------------------------------------------------- helpers
+# All helpers operate on limb-major (R, TN) uint32 values.
+
+
+def _shift_rows_up(x, d: int):
+    """Shift rows toward higher indices by d, zero-fill at the bottom."""
+    if d == 0:
+        return x
+    pad = jnp.zeros((d,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([pad, x[:-d]], axis=0)
+
+
+def _ks_carry(s):
+    """Binary Kogge-Stone carry propagation over the sublane axis.
+
+    s: (R, TN) uint32 limbs with s < 2^16 + small (carry out of each
+    position is 0 or 1).  Returns (R, TN) fully-normalized 16-bit limbs
+    of the same value (any carry out of the top row is dropped — the
+    caller sizes R so the value fits).
     """
-    L = a_ref.shape[0]
-    b = b_ref[:]  # (L, TN)
-    mp = mp_ref[0, 0]
     mask = jnp.uint32(LIMB_MASK)
-    TN = b.shape[1]
+    g = (s >> LIMB_BITS).astype(jnp.uint32)  # generate: carry out of k
+    p = ((s & mask) == mask).astype(jnp.uint32)  # propagate
+    R = s.shape[0]
+    d = 1
+    while d < R:
+        gs = _shift_rows_up(g, d)
+        ps = _shift_rows_up(p, d)
+        g = g | (p & gs)
+        p = p & ps
+        d *= 2
+    cin = _shift_rows_up(g, 1)
+    return (s + cin) & mask
 
+
+def _ks_sub(f, m_ext):
+    """f - m if f >= m else f, via Kogge-Stone borrow propagation.
+
+    f: (R, TN) normalized 16-bit limbs, value in [0, 2m).
+    m_ext: (R, TN) modulus limbs (zero-extended).
+    """
+    mask = jnp.uint32(LIMB_MASK)
+    R = f.shape[0]
+    g = (f < m_ext).astype(jnp.uint32)  # generate a borrow
+    p = (f == m_ext).astype(jnp.uint32)  # propagate a borrow
+    d = 1
+    while d < R:
+        gs = _shift_rows_up(g, d)
+        ps = _shift_rows_up(p, d)
+        g = g | (p & gs)
+        p = p & ps
+        d *= 2
+    bin_ = _shift_rows_up(g, 1)  # borrow into position k
+    diff = (f - m_ext - bin_) & mask
+    # total borrow out of the top row = f < m (select original then)
+    f_lt_m = g[-1:]  # (1, TN)
+    return jnp.where(f_lt_m.astype(bool), f, diff)
+
+
+def _normalize_sub(t, m_ext):
+    """Lazy accumulator -> canonical limbs.
+
+    t: (L+1, TN) uint32 lazy limbs (each < 2^26) holding a value in
+    [0, 2m).  m_ext: (L+2, TN).  Returns canonical (L+2, TN) (top two
+    rows zero).
+    """
+    mask = jnp.uint32(LIMB_MASK)
+    lo = t & mask
+    hi = t >> LIMB_BITS  # < 2^10
+    zero_row = jnp.zeros((1,) + t.shape[1:], t.dtype)
+    s = jnp.concatenate([lo, zero_row], axis=0) + _shift_rows_up(
+        jnp.concatenate([hi, zero_row], axis=0), 1
+    )  # (L+2, TN), limbs < 2^16 + 2^10
+    f = _ks_carry(s)
+    return _ks_sub(f, m_ext)
+
+
+def _mmul_rows(x_ref, x_off, L, y, m, mp, m_ext):
+    """Montgomery product: rows [x_off*L, (x_off+1)*L) of x_ref times y.
+
+    y, m: (L, TN) canonical values; m_ext: (L+2, TN).  Returns a
+    canonical (L, TN) value.  Reads of x happen one sublane row at a
+    time (dynamic slice), so callers may alias the destination with x
+    as long as they write only after this returns.
+    """
+    mask = jnp.uint32(LIMB_MASK)
+    TN = y.shape[1]
     zero_row = jnp.zeros((1, TN), jnp.uint32)
-    t_ref[:] = jnp.zeros_like(t_ref)
 
-    def shift_up(x):
-        """(L, TN) -> (L+1, TN): value shifted one limb up."""
-        return jnp.concatenate([zero_row, x], axis=0)
+    def pad0(v):  # (L, TN) -> (L+1, TN)
+        return jnp.concatenate([v, zero_row], axis=0)
 
-    def pad0(x):
-        """(L, TN) -> (L+1, TN): zero row appended."""
-        return jnp.concatenate([x, zero_row], axis=0)
+    def shift_up(v):  # (L, TN) -> (L+1, TN), rows move up one
+        return jnp.concatenate([zero_row, v], axis=0)
 
-    def body(i, _):
-        ai = a_ref[pl.ds(i, 1), :]  # (1, TN)
-        t = t_ref[:]  # (L+1, TN)
-        p = ai * b  # (L, TN) 32-bit products of 16-bit limbs
-        t = t + pad0(p & mask) + shift_up(p >> LIMB_BITS)
-
-        q = (t[:1, :] * mp) & mask  # (1, TN)
-        p2 = q * m_ref[:]  # (L, TN)
+    def body(i, t):
+        xi = x_ref[pl.ds(x_off * L + i, 1), :]  # (1, TN)
+        prod = xi * y
+        t = t + pad0(prod & mask) + shift_up(prod >> LIMB_BITS)
+        q = (t[:1, :] * mp) & mask
+        p2 = q * m
         t = t + pad0(p2 & mask) + shift_up(p2 >> LIMB_BITS)
-
-        # Right-shift one limb; col0's carry folds into the new row 0.
         carry0 = t[:1, :] >> LIMB_BITS
-        t = jnp.concatenate([t[1:, :] , zero_row], axis=0)
-        t = t + pad0(jnp.concatenate(
-            [carry0, jnp.zeros((L - 1, TN), jnp.uint32)], axis=0))
-        t_ref[:] = t
-        return 0
+        t = jnp.concatenate([t[1:2, :] + carry0, t[2:, :], zero_row], axis=0)
+        return t
 
-    jax.lax.fori_loop(0, L, body, 0, unroll=False)
+    t = jax.lax.fori_loop(
+        0, L, body, jnp.zeros((L + 1, TN), jnp.uint32), unroll=False
+    )
+    return _normalize_sub(t, m_ext)[:L]
 
-    # Carry resolution + conditional subtraction (value in [0, 2m)).
-    def fixup(i, carry):
-        c, br = carry
-        tk = t_ref[pl.ds(i, 1), :].astype(jnp.int32)
-        mk = m_ref[pl.ds(i, 1), :].astype(jnp.int32)
-        s = tk + c
-        lo = s & LIMB_MASK
-        c = s >> LIMB_BITS
-        d = lo - mk - br
-        dlo = d & LIMB_MASK
-        br = (d >> 31) & 1
-        t_ref[pl.ds(i, 1), :] = lo.astype(jnp.uint32)  # stash lo
-        out_ref[pl.ds(i, 1), :] = dlo.astype(jnp.uint32)  # stash d
-        return c, br
 
-    zc = jnp.zeros((1, TN), jnp.int32)
-    c, br = jax.lax.fori_loop(0, L, fixup, (zc, zc), unroll=False)
-    # top lazy row L contributes to the final carry
-    c = c + t_ref[pl.ds(L, 1), :].astype(jnp.int32)
+# ------------------------------------------------------------ mul kernel
 
-    # If no carry out and a borrow occurred, t < m: keep lo.
-    keep_lo = jnp.logical_and(br > 0, c == 0)
-    out_ref[:] = jnp.where(keep_lo, t_ref[: L, :], out_ref[:])
+
+def _mont_mul_kernel(a_ref, b_ref, m_ref, mp_ref, out_ref):
+    L = a_ref.shape[0]
+    TN = a_ref.shape[1]
+    m = m_ref[:]
+    zero2 = jnp.zeros((2, TN), jnp.uint32)
+    m_ext = jnp.concatenate([m, zero2], axis=0)
+    out_ref[:] = _mmul_rows(a_ref, 0, L, b_ref[:], m, mp_ref[0, 0], m_ext)
 
 
 @jax.jit
@@ -104,8 +175,6 @@ def mont_mul_pallas(a, b, m, mprime):
     m: (L,), mprime: uint32 scalar.  Returns (N, L).
     """
     N, L = a.shape
-    at = a.T  # (L, N) limb-major
-    bt = b.T
     tn = min(TILE_N, _round_up(N, 128))
     mp2 = jnp.asarray(mprime, jnp.uint32).reshape(1, 1)
     m_col = jnp.broadcast_to(m.reshape(L, 1), (L, tn))
@@ -113,24 +182,240 @@ def mont_mul_pallas(a, b, m, mprime):
         _mont_mul_kernel,
         grid=(pl.cdiv(N, tn),),
         in_specs=[
-            pl.BlockSpec((L, tn), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, tn), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, tn), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((L, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, tn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((L, tn), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, N), jnp.uint32),
-        scratch_shapes=[
-            pltpu.VMEM((L + 1, tn), jnp.uint32),
-        ],
-    )(at, bt, m_col, mp2)
+        out_specs=pl.BlockSpec(
+            (L, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, a.T.shape[1]), jnp.uint32),
+    )(a.T, b.T, m_col, mp2)
     return out_t.T
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+# ------------------------------------------------------------ exp kernel
+
+
+def _mont_exp_kernel(
+    ndig: int,
+    a_ref,
+    e_ref,
+    m_ref,
+    one_ref,
+    mp_ref,
+    out_ref,
+    tbl_ref,
+    acc_ref,
+):
+    """Full fixed-window exponentiation for one (L, TN) tile.
+
+    tbl_ref: (16*L, TN) scratch — power table base^d, d in [0, 16).
+    acc_ref: (L, TN) scratch — running accumulator.
+    """
+    L = a_ref.shape[0]
+    TN = a_ref.shape[1]
+    m = m_ref[:]
+    mp = mp_ref[0, 0]
+    zero2 = jnp.zeros((2, TN), jnp.uint32)
+    m_ext = jnp.concatenate([m, zero2], axis=0)
+    base = a_ref[:]
+
+    # Build the power table: tbl[0] = 1 (Montgomery one), tbl[1] = base,
+    # tbl[d] = tbl[d-1] * base.  fori_loop (not an unrolled Python loop)
+    # keeps the Mosaic MLIR small — compile time matters at L=128.
+    tbl_ref[pl.ds(0, L), :] = one_ref[:]
+    tbl_ref[pl.ds(L, L), :] = base
+
+    def tbl_body(d, _):
+        val = _mmul_rows(tbl_ref, d - 1, L, base, m, mp, m_ext)
+        tbl_ref[pl.ds(d * L, L), :] = val
+        return 0
+
+    jax.lax.fori_loop(2, 1 << _WINDOW, tbl_body, 0, unroll=False)
+
+    acc_ref[:] = one_ref[:]
+    digits_per_limb = LIMB_BITS // _WINDOW
+    dig_mask = jnp.uint32((1 << _WINDOW) - 1)
+
+    def digit_body(k, _):
+        j = ndig - 1 - k
+
+        # 4 squarings (skipped work for the leading digit is not worth a
+        # branch: schedule is identical for every lane / constant-time)
+        def sq_body(_i, _c):
+            acc_ref[:] = _mmul_rows(acc_ref, 0, L, acc_ref[:], m, mp, m_ext)
+            return 0
+
+        jax.lax.fori_loop(0, _WINDOW, sq_body, 0, unroll=False)
+        limb = j // digits_per_limb
+        shift = (j % digits_per_limb) * _WINDOW
+        row = e_ref[pl.ds(limb, 1), :]  # (1, TN)
+        dig = (row >> shift.astype(jnp.uint32)) & dig_mask
+        # constant-time masked table select
+        fac = jnp.zeros((L, TN), jnp.uint32)
+        for d in range(1 << _WINDOW):
+            sel = (dig == jnp.uint32(d)).astype(jnp.uint32)  # (1, TN)
+            fac = fac + sel * tbl_ref[pl.ds(d * L, L), :]
+        acc_ref[:] = _mmul_rows(acc_ref, 0, L, fac, m, mp, m_ext)
+        return 0
+
+    jax.lax.fori_loop(0, ndig, digit_body, 0, unroll=False)
+    out_ref[:] = acc_ref[:]
+
+
+# ------------------------------------------------------ fixed-base kernel
+
+
+def _mont_fb_kernel(
+    ndig: int,
+    tbl_ref,  # (ndig*16, L) uint32 VMEM, Montgomery form
+    e_ref,
+    m_ref,
+    one_ref,
+    mp_ref,
+    out_ref,
+    acc_ref,
+):
+    """Fixed-base exponentiation: out = prod_j tbl[j][digit_j(e)].
+
+    No squarings — the table absorbs them (gmpmee fixed-base equivalent,
+    SURVEY.md §2.3).  The whole table stays VMEM-resident (4 MB at 2048
+    bits); each digit's 16 entries are fetched as 16 *single-row*
+    dynamic slices (multi-row dynamic sublane slices measured ~20x
+    slower in Mosaic).  The per-lane digit gather is an exact one-hot
+    f32 matmul on the MXU: entries are 16-bit limbs (< 2^24, exact in
+    f32) and each output column sums exactly one nonzero term.
+    """
+    L = m_ref.shape[0]
+    TN = e_ref.shape[1]
+    m = m_ref[:]
+    mp = mp_ref[0, 0]
+    zero2 = jnp.zeros((2, TN), jnp.uint32)
+    m_ext = jnp.concatenate([m, zero2], axis=0)
+
+    digits_per_limb = LIMB_BITS // _WINDOW
+    dig_mask = jnp.uint32((1 << _WINDOW) - 1)
+    W = 1 << _WINDOW
+    acc_ref[:] = one_ref[:]
+
+    def digit_body(j, _):
+        limb = j // digits_per_limb
+        shift = (j % digits_per_limb) * _WINDOW
+        row = e_ref[pl.ds(limb, 1), :]  # (1, TN)
+        dig = ((row >> shift.astype(jnp.uint32)) & dig_mask).astype(jnp.int32)
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (W, TN), 0) == dig
+        ).astype(jnp.float32)
+        rows = [tbl_ref[pl.ds(j * W + d, 1), :] for d in range(W)]
+        # Mosaic has no uint32<->f32 casts; limbs are < 2^16 so a detour
+        # through int32 is exact.
+        trow = (
+            jnp.concatenate(rows, axis=0).astype(jnp.int32).astype(jnp.float32)
+        )  # (16, L)
+        fac = (
+            jax.lax.dot_general(
+                trow,
+                onehot,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            .astype(jnp.int32)
+            .astype(jnp.uint32)
+        )  # (L, TN)
+        acc_ref[:] = _mmul_rows(acc_ref, 0, L, fac, m, mp, m_ext)
+        return 0
+
+    jax.lax.fori_loop(0, ndig, digit_body, 0, unroll=False)
+    out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n",))
+def mont_fb_exp_pallas(table, e, m, mprime, one_mont, tile_n=None):
+    """prod_j table[j][digit_j(e)] via the fixed-base Pallas kernel.
+
+    table: (ndig, 16, L) Montgomery-form uint32 (VMEM-resident).
+    e: (N, Le) standard limbs covering at least ndig 4-bit digits.
+    Returns (N, L).
+    """
+    ndig, _, L = table.shape
+    N, Le = e.shape
+    need_limbs = (ndig * _WINDOW + LIMB_BITS - 1) // LIMB_BITS
+    if Le < need_limbs:
+        e = jnp.concatenate(
+            [e, jnp.zeros((N, need_limbs - Le), jnp.uint32)], axis=1
+        )
+        Le = need_limbs
+    tn = tile_n or min(TILE_N, _round_up(N, 128))
+    mp2 = jnp.asarray(mprime, jnp.uint32).reshape(1, 1)
+    m_col = jnp.broadcast_to(m.reshape(L, 1), (L, tn))
+    one_col = jnp.broadcast_to(one_mont.reshape(L, 1), (L, tn))
+    kernel = functools.partial(_mont_fb_kernel, ndig)
+    W = 1 << _WINDOW
+    R = ndig * W
+    out_t = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(N, tn),),
+        in_specs=[
+            pl.BlockSpec((R, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Le, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, tn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, tn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (L, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, e.T.shape[1]), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((L, tn), jnp.uint32),
+        ],
+    )(table.reshape(R, L), e.T, m_col, one_col, mp2)
+    return out_t.T
+
+
+@functools.partial(jax.jit, static_argnames=("nbits", "tile_n"))
+def mont_exp_pallas(base, e, m, mprime, one_mont, nbits: int, tile_n=None):
+    """base^e via the fused Pallas kernel.
+
+    base: (N, L) canonical Montgomery form; e: (N, Le) standard limbs;
+    nbits: static exponent bit bound.  Returns (N, L).
+    """
+    N, L = base.shape
+    Le = e.shape[1]
+    ndig = max(1, (nbits + _WINDOW - 1) // _WINDOW)
+    # digits are read from whole limbs: make sure the limb index in the
+    # kernel stays in range
+    need_limbs = (ndig * _WINDOW + LIMB_BITS - 1) // LIMB_BITS
+    if Le < need_limbs:
+        e = jnp.concatenate(
+            [e, jnp.zeros((N, need_limbs - Le), jnp.uint32)], axis=1
+        )
+        Le = need_limbs
+    tn = tile_n or min(TILE_N, _round_up(N, 128))
+    mp2 = jnp.asarray(mprime, jnp.uint32).reshape(1, 1)
+    m_col = jnp.broadcast_to(m.reshape(L, 1), (L, tn))
+    one_col = jnp.broadcast_to(one_mont.reshape(L, 1), (L, tn))
+    kernel = functools.partial(_mont_exp_kernel, ndig)
+    out_t = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(N, tn),),
+        in_specs=[
+            pl.BlockSpec((L, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Le, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, tn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, tn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (L, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, base.T.shape[1]), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM(((1 << _WINDOW) * L, tn), jnp.uint32),
+            pltpu.VMEM((L, tn), jnp.uint32),
+        ],
+    )(base.T, e.T, m_col, one_col, mp2)
+    return out_t.T
