@@ -49,14 +49,15 @@ def _board(prot, priv, j):
 
 
 def _mk_party(prot, priv):
-    from vmn_tpu.crypto.randomsource import RandomDevice, SeededSource
+    from vmn_tpu.crypto.provable import resolve_random_source
+    from vmn_tpu.crypto.randomsource import SeededSource
     from vmn_tpu.protocol.mixnet.party import MixNetParty
 
     j = _party_index(prot, priv)
-    rs = (
-        SeededSource(Path(priv.seed).read_bytes())
-        if priv.seed else RandomDevice()
-    )
+    if priv.seed:
+        rs = SeededSource(Path(priv.seed).read_bytes())
+    else:
+        rs = resolve_random_source(priv.rand, directory=priv.dir)
     party = MixNetParty(
         prot.to_params(), _board(prot, priv, j), rs, priv.dir
     )

@@ -12,7 +12,10 @@ import hashlib
 
 
 class Hashfunction:
-    """A named cryptographic hash function."""
+    """A named cryptographic hash function (reference:
+    com.verificatum.crypto.HashfunctionHeuristic)."""
+
+    MARSHAL_NAME = "com.verificatum.crypto.HashfunctionHeuristic"
 
     def __init__(self, name: str):
         if name not in ("SHA-256", "SHA-384", "SHA-512"):
@@ -29,12 +32,25 @@ class Hashfunction:
         """Incremental digest object (Hashdigest equivalent)."""
         return hashlib.new(self._algo)
 
+    def to_bytetree(self):
+        from vmn_tpu.eio.bytetree import string_leaf
+
+        return string_leaf(self.name)
+
+    @classmethod
+    def from_bytetree(cls, bt) -> "Hashfunction":
+        return cls(bt.to_string())
+
     def __repr__(self):
         return f"Hashfunction({self.name})"
 
     def __eq__(self, other):
         return isinstance(other, Hashfunction) and self.name == other.name
 
+
+from vmn_tpu.eio.marshal import register as _register  # noqa: E402
+
+_register(Hashfunction.MARSHAL_NAME)(Hashfunction)
 
 SHA256 = Hashfunction("SHA-256")
 SHA384 = Hashfunction("SHA-384")

@@ -77,5 +77,21 @@ class PRGHeuristic(PRG):
         self._buffer = data[n:]
         return data[:n]
 
+    def to_bytetree(self):
+        from vmn_tpu.eio.marshal import marshal
+
+        return marshal(self.hashfunction)
+
+    @classmethod
+    def from_bytetree(cls, bt) -> "PRGHeuristic":
+        from vmn_tpu.eio.marshal import unmarshal
+
+        return cls(unmarshal(bt))
+
     def __repr__(self):
         return f"PRGHeuristic({self.hashfunction.name})"
+
+
+from vmn_tpu.eio.marshal import register as _register  # noqa: E402
+
+_register(PRGHeuristic.MARSHAL_NAME)(PRGHeuristic)

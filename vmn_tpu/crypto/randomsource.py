@@ -44,6 +44,15 @@ class RandomDevice(RandomSource):
     def read_bytes(self, n: int) -> bytes:
         return os.urandom(n)
 
+    def to_bytetree(self):
+        from vmn_tpu.eio.bytetree import string_leaf
+
+        return string_leaf("/dev/urandom")
+
+    @classmethod
+    def from_bytetree(cls, bt) -> "RandomDevice":
+        return cls()
+
 
 class SeededSource(RandomSource):
     """Deterministic source for tests and reproducible demos."""
@@ -54,3 +63,8 @@ class SeededSource(RandomSource):
 
     def read_bytes(self, n: int) -> bytes:
         return self._prg.read_bytes(n)
+
+
+from vmn_tpu.eio.marshal import register as _register  # noqa: E402
+
+_register(RandomDevice.MARSHAL_NAME)(RandomDevice)

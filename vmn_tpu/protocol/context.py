@@ -69,8 +69,10 @@ class ProtocolContext:
         self.par = par
         self.pgroup = par.pgroup
         self.rosid = rosid if rosid is not None else par.sid
-        self.ro_hash: Hashfunction = by_name(par.rohash_name)
-        self.prg = PRGHeuristic(by_name(par.prg_name))
+        from vmn_tpu.crypto.provable import resolve_hash, resolve_prg
+
+        self.ro_hash = resolve_hash(par.rohash_name)
+        self.prg = resolve_prg(par.prg_name)
         self.global_prefix = self._global_prefix()
         self.challenger = ChallengerRO(self.ro_hash, self.global_prefix)
 
