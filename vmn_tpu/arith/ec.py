@@ -521,6 +521,14 @@ class ECArray:
 
     __slots__ = ("grp", "x", "y", "inf")
 
+    def spill(self) -> "ECArray":
+        """Disk-spill backend hook (arrays=file)."""
+        from vmn_tpu.arith import storage
+
+        return ECArray(self.grp, storage.maybe_spill(self.x),
+                       storage.maybe_spill(self.y),
+                       storage.maybe_spill(self.inf))
+
     def __init__(self, grp: ECqPGroup, x, y, inf):
         self.grp = grp
         self.x = x

@@ -214,6 +214,14 @@ class FArray:
 
     __slots__ = ("field", "limbs")
 
+    def spill(self) -> "FArray":
+        """Move to the disk-spill backend when arrays=file
+        (reference: file-mapped LargeIntegerArray,
+        ProtocolElGamal.java:332-345)."""
+        from vmn_tpu.arith import storage
+
+        return FArray(self.field, storage.maybe_spill(self.limbs))
+
     def __init__(self, field: PField, limbs):
         self.field = field
         self.limbs = limbs
@@ -555,6 +563,12 @@ class GArray:
 
     __slots__ = ("grp", "limbs")
 
+    def spill(self) -> "GArray":
+        """Disk-spill backend hook (arrays=file)."""
+        from vmn_tpu.arith import storage
+
+        return GArray(self.grp, storage.maybe_spill(self.limbs))
+
     def __init__(self, grp: ModPGroup, limbs):
         self.grp = grp
         self.limbs = limbs
@@ -832,6 +846,11 @@ class PPArray:
 
     __slots__ = ("parent", "components")
 
+    def spill(self) -> "PPArray":
+        """Disk-spill backend hook (arrays=file)."""
+        return PPArray(self.parent,
+                       tuple(c.spill() for c in self.components))
+
     def __init__(self, parent: PPGroup, components: tuple):
         self.parent = parent
         self.components = tuple(components)
@@ -942,6 +961,11 @@ class PPFArray:
     """Element (array) of a product ring: tuple of component FArrays."""
 
     __slots__ = ("parent", "components")
+
+    def spill(self):
+        """Disk-spill backend hook (arrays=file)."""
+        return type(self)(self.parent,
+                          tuple(c.spill() for c in self.components))
 
     def __init__(self, parent: PPRing, components: tuple):
         self.parent = parent

@@ -22,7 +22,7 @@ from __future__ import annotations
 import sys
 
 _COMMANDS = ("vmni", "vmn", "vmnv", "vmnc", "vmnd", "vre", "vbt",
-             "vdemo", "vhttp")
+             "vdemo", "vhttp", "vog")
 
 
 def main(argv=None) -> int:

@@ -54,6 +54,13 @@ def _mk_party(prot, priv):
     from vmn_tpu.protocol.mixnet.party import MixNetParty
 
     j = _party_index(prot, priv)
+    if getattr(priv, "arrays", "ram") == "file":
+        # Out-of-core arrays: spill large cached arrays to disk memmaps
+        # (reference: file-mapped LargeIntegerArray toggled by the
+        # `arrays` private-info field, ProtocolElGamal.java:332-345).
+        from vmn_tpu.arith import storage
+
+        storage.set_backend("file", Path(priv.dir) / "arrays")
     if priv.seed:
         rs = SeededSource(Path(priv.seed).read_bytes())
     else:

@@ -26,10 +26,38 @@ def main(argv=None) -> int:
                    help="skip proofs of shuffles")
     p.add_argument("-nodec", action="store_true",
                    help="skip decryption proof")
+    p.add_argument("-noposc", action="store_true",
+                   help="skip proofs of shuffles of commitments")
+    p.add_argument("-noccpos", action="store_true",
+                   help="skip commitment-consistent proofs of shuffles")
+    p.add_argument("-sloppy", action="store_true",
+                   help="relax strict byte-format checks")
+    p.add_argument("-width", type=int, default=None,
+                   help="expected width of ciphertexts")
+    p.add_argument("-wd", default=None, metavar="DIR",
+                   help="working directory for temporary files")
+    p.add_argument("-a", default=None, metavar="BACKEND",
+                   help="array backend: ram or file")
+    p.add_argument("-mc", action="store_true",
+                   help="print verifier-spec compatibility usage and exit")
     p.add_argument("-t", default=None,
                    help="comma-separated test-vector names to print")
     p.add_argument("-v", action="store_true", help="verbose")
     args = p.parse_args(argv)
+
+    if args.mc:
+        # Compatibility mode: the usage form mandated by the Verificatum
+        # verifier specification (reference:
+        # MixNetElGamalVerifyFiatShamirTool.java -mc flag).
+        print("Usage: vmnv -mix|-shuffle|-decrypt [-auxsid <auxsid>] "
+              "[-width <width>] <protInfo> <nizkp>")
+        return 0
+
+    if args.wd:
+        import os
+        import tempfile
+        os.makedirs(args.wd, exist_ok=True)
+        tempfile.tempdir = args.wd
 
     from vmn_tpu.protocol.info import ProtocolInfo
     from vmn_tpu.protocol.mixnet.verifier import (
@@ -52,6 +80,10 @@ def main(argv=None) -> int:
             expected_auxsid=args.auxsid,
             check_pos=not args.nopos,
             check_dec=not args.nodec,
+            check_posc=not args.noposc,
+            check_ccpos=not args.noccpos,
+            expected_width=args.width,
+            sloppy=args.sloppy,
         )
     except VerificationError as e:
         print(f"FAILED: {e}", file=sys.stderr)

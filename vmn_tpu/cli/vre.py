@@ -54,8 +54,49 @@ def main(argv=None) -> int:
     op.add_argument("-sub", nargs=2, type=int, metavar=("START", "END"))
     op.add_argument("-project", type=int, metavar="IDX")
     op.add_argument("-widths", metavar="W1,W2,...")
+    op.add_argument("-shallow", action="store_true",
+                    help="split into width-1 parts (one output per "
+                    "component; reference: ProtocolElGamalRearTool "
+                    "-shallow)")
+    op.add_argument("-deep", action="store_true",
+                    help="inverse of -shallow: join width-1 parts "
+                    "into one wide object")
+    p.add_argument("-noin", action="store_true",
+                   help="outputs only; infer structure without an "
+                   "input template")
     p.add_argument("files", nargs="+")
     args = p.parse_args(argv)
+
+    if args.shallow:
+        # one output file per width component
+        infile, *outs = args.files
+        bt = ByteTree.read_file(infile)
+        if args.ciphs:
+            u, v = bt.children
+            w = len(u.children) if not u.is_leaf else 1
+            if len(outs) != w:
+                raise SystemExit(f"need {w} output files")
+            for i, out in enumerate(outs):
+                node(u.children[i], v.children[i]).write_file(out)
+        else:
+            if len(outs) != len(bt.children):
+                raise SystemExit(f"need {len(bt.children)} output files")
+            for child, out in zip(bt.children, outs):
+                child.write_file(out)
+        print("ok")
+        return 0
+    if args.deep:
+        *ins, out = args.files
+        trees = [ByteTree.read_file(f) for f in ins]
+        if args.ciphs:
+            node(
+                node(*[t.children[0] for t in trees]),
+                node(*[t.children[1] for t in trees]),
+            ).write_file(out)
+        else:
+            node(*trees).write_file(out)
+        print("ok")
+        return 0
 
     if args.cat:
         *ins, out = args.files

@@ -356,6 +356,26 @@ class MixSession:
             st.reenc_factors = elgamal.reencryption_factors(
                 wide_pk, st.reenc_exponents
             )
+
+        # Out-of-core: spill the big resident arrays to disk memmaps in
+        # arrays=file mode (reference: file-mapped arrays for N beyond
+        # RAM, ProtocolElGamal.java:332-345; TPU equivalent SURVEY §2.5
+        # "host-RAM/disk spill with streamed device transfers").
+        from vmn_tpu.arith import storage
+
+        if storage.backend() == "file":
+            st.generators = st.generators.spill()
+            st.raised_generators = st.raised_generators.spill()
+            st.commitments = {
+                l: c.spill() for l, c in st.commitments.items()
+            }
+            st.raised_commitments = {
+                l: (c.spill() if c is not None else None)
+                for l, c in st.raised_commitments.items()
+            }
+            if st.reenc_exponents is not None:
+                st.reenc_exponents = st.reenc_exponents.spill()
+                st.reenc_factors = st.reenc_factors.spill()
         self._precomp = st
 
     def _shrink(self, n: int) -> "_PrecompState":

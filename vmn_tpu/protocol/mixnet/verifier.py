@@ -102,7 +102,11 @@ class FiatShamirVerifier:
     def verify(self, expected_type: Optional[str] = None,
                expected_auxsid: Optional[str] = None,
                check_pos: bool = True,
-               check_dec: bool = True) -> VerificationResult:
+               check_dec: bool = True,
+               check_posc: bool = True,
+               check_ccpos: bool = True,
+               expected_width: Optional[int] = None,
+               sloppy: bool = False) -> VerificationResult:
         nz = self.nizkp
 
         # Version (reference: verifyVersion).
@@ -117,9 +121,17 @@ class FiatShamirVerifier:
             self._fail(f"wrong proof type {ptype} != {expected_type}")
         if expected_auxsid is not None and auxsid != expected_auxsid:
             self._fail("wrong auxsid")
+        if expected_width is not None and width != expected_width:
+            self._fail(f"wrong width {width} != {expected_width}")
 
         do_pos = check_pos and ptype in ("mixing", "shuffling")
         do_dec = check_dec and ptype in ("mixing", "decryption")
+        # Skip-parts knobs for debugging / partial verification
+        # (reference: MixNetElGamalVerifyFiatShamirTool.java -noposc
+        # / -noccpos / -sloppy flags, :540-641).
+        self._check_posc = check_posc
+        self._check_ccpos = check_ccpos
+        self._sloppy = sloppy
 
         ctx = ProtocolContext(self.par, f"{self.par.sid}.{auxsid}")
         self._tv("par.sid", self.par.sid)
@@ -291,26 +303,29 @@ class FiatShamirVerifier:
                 )
             except (ByteTreeError, ValueError):
                 perm_comm = generators.copy_of_range(0, maxciph)
-            V = PoSCVerifier(pos_par)
-            V.set_instance(g, generators, perm_comm)
-            seed = ctx.challenger.challenge(
-                posc_seed_data(g, generators, perm_comm),
-                8 * ctx.prg.min_seed_bytes, ctx.rbitlen,
-            )
-            V.set_batch_vector(seed)
-            commitment = V.set_commitment(
-                self._read_bt(self.proofs / f"PoSCCommitment{l:02d}.bt")
-            )
-            v_bytes = ctx.challenger.challenge(
-                posc_challenge_data(seed, commitment),
-                ctx.vbitlen, ctx.rbitlen,
-            )
-            reply_file = self.proofs / f"PoSCReply{l:02d}.bt"
-            posc_ok = (
-                reply_file.exists()
-                and V.verify(self._read_bt(reply_file),
-                             int.from_bytes(v_bytes, "big"))
-            )
+            if getattr(self, "_check_posc", True):
+                V = PoSCVerifier(pos_par)
+                V.set_instance(g, generators, perm_comm)
+                seed = ctx.challenger.challenge(
+                    posc_seed_data(g, generators, perm_comm),
+                    8 * ctx.prg.min_seed_bytes, ctx.rbitlen,
+                )
+                V.set_batch_vector(seed)
+                commitment = V.set_commitment(
+                    self._read_bt(self.proofs / f"PoSCCommitment{l:02d}.bt")
+                )
+                v_bytes = ctx.challenger.challenge(
+                    posc_challenge_data(seed, commitment),
+                    ctx.vbitlen, ctx.rbitlen,
+                )
+                reply_file = self.proofs / f"PoSCReply{l:02d}.bt"
+                posc_ok = (
+                    reply_file.exists()
+                    and V.verify(self._read_bt(reply_file),
+                                 int.from_bytes(v_bytes, "big"))
+                )
+            else:
+                posc_ok = True
             if not posc_ok:
                 verdict = False
                 perm_comm = generators.copy_of_range(0, maxciph)
@@ -333,27 +348,30 @@ class FiatShamirVerifier:
             except (ByteTreeError, ValueError):
                 self._fail(f"malformed output list of party {l}")
 
-            CV = CCPoSVerifier(pos_par)
-            CV.set_instance(g, shrunk_generators, shrunk_comm,
-                            wide_pk_elem, inp, out)
-            seed = ctx.challenger.challenge(
-                ccpos_seed_data(g, shrunk_generators, shrunk_comm,
-                                wide_pk_elem, inp, out),
-                8 * ctx.prg.min_seed_bytes, ctx.rbitlen,
-            )
-            CV.set_batch_vector(seed)
-            CV.compute_AB()
-            commitment = CV.set_commitment(self._read_bt(cc_file))
-            v_bytes = ctx.challenger.challenge(
-                ccpos_challenge_data(seed, commitment),
-                ctx.vbitlen, ctx.rbitlen,
-            )
-            r_file = self.proofs / f"CCPoSReply{l:02d}.bt"
-            cc_ok = (
-                r_file.exists()
-                and CV.verify(self._read_bt(r_file),
-                              int.from_bytes(v_bytes, "big"))
-            )
+            if getattr(self, "_check_ccpos", True):
+                CV = CCPoSVerifier(pos_par)
+                CV.set_instance(g, shrunk_generators, shrunk_comm,
+                                wide_pk_elem, inp, out)
+                seed = ctx.challenger.challenge(
+                    ccpos_seed_data(g, shrunk_generators, shrunk_comm,
+                                    wide_pk_elem, inp, out),
+                    8 * ctx.prg.min_seed_bytes, ctx.rbitlen,
+                )
+                CV.set_batch_vector(seed)
+                CV.compute_AB()
+                commitment = CV.set_commitment(self._read_bt(cc_file))
+                v_bytes = ctx.challenger.challenge(
+                    ccpos_challenge_data(seed, commitment),
+                    ctx.vbitlen, ctx.rbitlen,
+                )
+                r_file = self.proofs / f"CCPoSReply{l:02d}.bt"
+                cc_ok = (
+                    r_file.exists()
+                    and CV.verify(self._read_bt(r_file),
+                                  int.from_bytes(v_bytes, "big"))
+                )
+            else:
+                cc_ok = True
             verdict = verdict and cc_ok
             if verdict:
                 valid += 1
