@@ -233,6 +233,98 @@ def mont_exp(base, e, m, mprime, one_mont, nbits: int):
     return jax.lax.fori_loop(0, ndig, body, one)
 
 
+def _mul_dispatch(a, b, m, mprime, pallas: bool):
+    """Montgomery product usable inside jit: Pallas on TPU, XLA otherwise.
+
+    a, b: (N, L) canonical limbs (same shape).
+    """
+    if pallas and a.ndim == 2 and a.shape[0] > 0:
+        from vmn_tpu.ops.mont_kernels import mont_mul_pallas
+
+        return mont_mul_pallas(a, b, m, mprime)
+    return _mont_mul(a, b, m, mprime)
+
+
+@functools.partial(jax.jit, static_argnames=("pallas",))
+def _prod_tree(x, m, mprime, one_mont, pallas: bool):
+    """Log-depth product over axis 0 — ONE compiled program per shape.
+
+    (The previous implementation dispatched one separately-jitted
+    Montgomery product per tree level, compiling a fresh XLA program for
+    every intermediate shape — 2·log2(N) compilations per array size and
+    a host round-trip per level.)
+    """
+    n = x.shape[0]
+    if n == 1:
+        return x[0]
+    # pad to a power of two with the multiplicative identity
+    p2 = 1 << (n - 1).bit_length()
+    if p2 != n:
+        pad = jnp.broadcast_to(one_mont, (p2 - n,) + x.shape[1:])
+        x = jnp.concatenate([x, pad], axis=0)
+    while x.shape[0] > 1:
+        h = x.shape[0] // 2
+        x = _mul_dispatch(x[:h], x[h:], m, mprime, pallas)
+    return x[0]
+
+
+@functools.partial(jax.jit, static_argnames=("pallas",))
+def _prods_scan(x, m, mprime, one_mont, pallas: bool):
+    """Inclusive cumulative Montgomery product over axis 0.
+
+    Hillis–Steele over full-size arrays: log2(N) batched products, each
+    one Pallas launch inside a single compiled program (the associative
+    -scan-of-XLA-mont-mul this replaces compiled minutes-long programs
+    and never used the TPU kernels).
+    """
+    n = x.shape[0]
+    d = 1
+    while d < n:
+        pad = jnp.broadcast_to(one_mont, (d,) + x.shape[1:])
+        shifted = jnp.concatenate([pad, x[:-d]], axis=0)
+        x = _mul_dispatch(x, shifted, m, mprime, pallas)
+        d *= 2
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("pallas",))
+def _rec_lin_scan(mm, aa, m, mprime, one_mont, pallas: bool):
+    """Affine-recurrence scan x_i = x_{i-1}·e_i + b_i over axis 0.
+
+    mm: (N, L) multipliers in Montgomery form; aa: (N, L) addends in
+    standard form.  Composition of affine maps (m1,a1)∘(m2,a2) =
+    (m1·m2, a1·m2 + a2), Hillis–Steele.  Returns standard-form x.
+    """
+    n = mm.shape[0]
+    d = 1
+    while d < n:
+        pad_m = jnp.broadcast_to(one_mont, (d,) + mm.shape[1:])
+        pad_a = jnp.zeros((d,) + aa.shape[1:], aa.dtype)
+        m_sh = jnp.concatenate([pad_m, mm[:-d]], axis=0)
+        a_sh = jnp.concatenate([pad_a, aa[:-d]], axis=0)
+        new_m = _mul_dispatch(m_sh, mm, m, mprime, pallas)
+        new_a = add_mod(_mul_dispatch(a_sh, mm, m, mprime, pallas), aa, m)
+        mm, aa = new_m, new_a
+        d *= 2
+    return aa
+
+
+@functools.partial(jax.jit)
+def _sum_tree(x, m):
+    """Log-depth modular sum over axis 0 in one compiled program."""
+    n = x.shape[0]
+    if n == 1:
+        return x[0]
+    p2 = 1 << (n - 1).bit_length()
+    if p2 != n:
+        pad = jnp.zeros((p2 - n,) + x.shape[1:], x.dtype)
+        x = jnp.concatenate([x, pad], axis=0)
+    while x.shape[0] > 1:
+        h = x.shape[0] // 2
+        x = add_mod(x[:h], x[h:], m)
+    return x[0]
+
+
 def prod_reduce(x, m, mprime, axis=0):
     """Log-depth product tree along `axis` with Montgomery products."""
     x = jnp.moveaxis(x, axis, 0)
@@ -419,7 +511,63 @@ class MontCtx:
         )
 
     def prod(self, x, axis=0):
-        return prod_reduce(x, self.m_limbs, self.mprime, axis=axis)
+        """Product over `axis` — one compiled tree program."""
+        if axis != 0:
+            x = jnp.moveaxis(x, axis, 0)
+        return _prod_tree(
+            x,
+            self.m_limbs,
+            self.mprime,
+            self.one_mont,
+            use_pallas() and x.ndim == 2,
+        )
+
+    def prods_scan(self, x):
+        """Inclusive cumulative product over axis 0 (Montgomery form)."""
+        return _prods_scan(
+            x, self.m_limbs, self.mprime, self.one_mont, use_pallas()
+        )
+
+    def rec_lin(self, mult_mont, add_std):
+        """x_i = x_{i-1}·e_i + b_i scan; returns standard-form (N, L)."""
+        return _rec_lin_scan(
+            mult_mont, add_std, self.m_limbs, self.mprime, self.one_mont,
+            use_pallas(),
+        )
+
+    def sum(self, x, axis=0):
+        """Modular sum over `axis` — one compiled tree program."""
+        if axis != 0:
+            x = jnp.moveaxis(x, axis, 0)
+        return _sum_tree(x, self.m_limbs)
+
+    def reduce_std(self, wide):
+        """(…, Lw) canonical limbs of ANY magnitude -> value mod m.
+
+        Splits x = hi·2^(16·L) + lo and uses hi·R mod m = to_mont(hi),
+        lo mod m = to_mont(from_mont(lo)) — all batched device ops, no
+        per-element Python.  Vectorizes uniform sampling x mod m of
+        (nbits+statDist)-bit integers (reference: PRing/PGroup
+        randomElementArray semantics).
+        """
+        L = self.L
+        Lw = wide.shape[-1]
+        nchunks = -(-Lw // L)
+        if nchunks * L != Lw:
+            pad = jnp.zeros(
+                wide.shape[:-1] + (nchunks * L - Lw,), jnp.uint32
+            )
+            wide = jnp.concatenate([wide, pad], axis=-1)
+        # Horner over L-limb chunks: acc = acc·R + chunk  (mod m);
+        # acc·R mod m = to_mont(acc), chunk mod m = to_mont(from_mont(·)).
+        acc = None
+        for j in range(nchunks - 1, -1, -1):
+            chunk = wide[..., j * L : (j + 1) * L]
+            cm = self.to_mont(self.from_mont(chunk))
+            acc = cm if acc is None else add_mod(
+                self.to_mont(acc), cm, self.m_limbs
+            )
+        return acc
 
     def inv(self, a, order: Optional[int] = None):
         """Inverse via Fermat: a^(m-2) (m prime), or a^(order-1)."""

@@ -90,12 +90,22 @@ class Permutation:
 
     @staticmethod
     def random(n: int, randomsource) -> "Permutation":
-        """Fisher–Yates from a RandomSource."""
-        tbl = np.arange(n, dtype=np.int64)
-        for i in range(n - 1, 0, -1):
-            j = randomsource.random_int_mod(i + 1)
-            tbl[i], tbl[j] = tbl[j], tbl[i]
-        return Permutation(tbl)
+        """Uniform random permutation from a RandomSource.
+
+        Small n: exact Fisher–Yates.  Large n: argsort of 128-bit random
+        keys drawn from the source (collision probability < n²/2^128;
+        vectorized — the Python Fisher–Yates loop dominated setup time
+        at N ≥ 2^16)."""
+        if n <= 4096:
+            tbl = np.arange(n, dtype=np.int64)
+            for i in range(n - 1, 0, -1):
+                j = randomsource.random_int_mod(i + 1)
+                tbl[i], tbl[j] = tbl[j], tbl[i]
+            return Permutation(tbl)
+        raw = np.frombuffer(randomsource.read_bytes(16 * n), np.uint64)
+        keys = raw.reshape(n, 2)
+        order = np.lexsort((keys[:, 1], keys[:, 0]))
+        return Permutation(order.astype(np.int64))
 
     @staticmethod
     def identity(n: int) -> "Permutation":
@@ -154,12 +164,36 @@ class PField:
 
     def random(self, shape, randomsource, rbitlen: int) -> "FArray":
         """Uniform-ish field elements: (nbits+rbitlen)-bit ints mod q
-        (reference: PRing.randomElementArray semantics)."""
+        (reference: PRing.randomElementArray semantics).
+
+        Vectorized: bulk source bytes -> limb tensor -> batched device
+        reduction mod q (no per-element Python bignum arithmetic)."""
         n = int(np.prod(shape)) if shape else 1
         bits = self.nbits + rbitlen
-        xs = [randomsource.random_int(bits) % self.q for _ in range(n)]
-        arr = ints_to_limbs(xs, self.L).reshape(tuple(shape) + (self.L,))
-        return FArray(self, jnp.asarray(arr))
+        wide = self.random_bits_raw(n, bits, randomsource)
+        arr = self.ctx.reduce_std(wide)
+        return FArray(self, arr.reshape(tuple(shape) + (self.L,)))
+
+    def random_bits_raw(self, n: int, bits: int, randomsource):
+        """n uniform `bits`-bit integers as (n, Lw) standard limbs."""
+        nbytes = (bits + 7) // 8
+        raw = np.frombuffer(
+            randomsource.read_bytes(n * nbytes), np.uint8
+        ).reshape(n, nbytes)
+        extra = 8 * nbytes - bits
+        if extra:
+            raw = raw.copy()
+            raw[:, 0] &= 0xFF >> extra
+        Lw = max(self.L, num_limbs(bits))
+        return jnp.asarray(bytes_be_to_limbs(raw, Lw))
+
+    def random_bits(self, n: int, bits: int, randomsource) -> "FArray":
+        """n uniform `bits`-bit integers as field elements, reduced mod q
+        when they can exceed it (reference: PoSBasicTW.java:470-474)."""
+        raw = self.random_bits_raw(n, bits, randomsource)
+        if bits >= self.nbits:
+            return FArray(self, self.ctx.reduce_std(raw))
+        return FArray(self, raw)
 
     def random_bits_prg(self, n: int, ebitlen: int, prg) -> "FArray":
         """Batching vector: n integers of exactly `ebitlen` bits from a PRG
@@ -212,7 +246,7 @@ class PField:
 class FArray:
     """Array (or scalar) of field elements in standard form."""
 
-    __slots__ = ("field", "limbs")
+    __slots__ = ("field", "limbs", "_bt")
 
     def spill(self) -> "FArray":
         """Move to the disk-spill backend when arrays=file
@@ -288,20 +322,8 @@ class FArray:
         )
 
     def sum(self) -> "FArray":
-        """Sum over the leading axis."""
-        x = self.limbs
-        q = self.field
-        acc = FArray(q, x[0])
-        # log-depth pairwise reduction
-        while x.shape[0] > 1:
-            h = x.shape[0] // 2
-            lo = q.ctx.add(x[:h], x[h : 2 * h])
-            x = (
-                jnp.concatenate([lo, x[2 * h :]], axis=0)
-                if x.shape[0] % 2
-                else lo
-            )
-        return FArray(q, x[0])
+        """Sum over the leading axis (one compiled tree program)."""
+        return FArray(self.field, self.field.ctx.sum(self.limbs, axis=0))
 
     def prod(self) -> "FArray":
         c = self.field.ctx
@@ -315,34 +337,19 @@ class FArray:
         """Cumulative products e_0, e_0e_1, ... (log-depth scan;
         reference: PRingElementArray.prods, PoSBasicTW.java:604)."""
         c = self.field.ctx
-        xm = c.to_mont(self.limbs)
-        out = jax.lax.associative_scan(
-            lambda a, b: mont.mont_mul(a, b, c.m_limbs, c.mprime), xm, axis=0
-        )
+        out = c.prods_scan(c.to_mont(self.limbs))
         return FArray(self.field, c.from_mont(out))
 
     def rec_lin(self, e: "FArray") -> Tuple["FArray", "FArray"]:
         """x_0 = b_0; x_i = x_{i-1} e_i + b_i.  Returns (x, x_{N-1})
         (reference: PRingElementArray.recLin, PoSBasicTW.java:596).
 
-        Log-depth via associative scan over affine maps f_i(t) = m t + a:
-        compose (m1,a1) then (m2,a2) -> (m1 m2, a1 m2 + a2).
+        Log-depth Hillis–Steele over affine maps f_i(t) = m t + a:
+        (m1,a1)∘(m2,a2) -> (m1 m2, a1 m2 + a2), one compiled program
+        routed through the Pallas product kernel on TPU.
         """
         c = self.field.ctx
-        b = self.limbs  # (N, L) standard
-        m_in = c.to_mont(e.limbs)  # multipliers in Montgomery form
-        a_in = b  # addends in standard form
-
-        def compose(f1, f2):
-            m1, a1 = f1
-            m2, a2 = f2
-            m = mont.mont_mul(m1, m2, c.m_limbs, c.mprime)
-            a = mont.add_mod(
-                mont.mont_mul(a1, m2, c.m_limbs, c.mprime), a2, c.m_limbs
-            )
-            return m, a
-
-        _, x = jax.lax.associative_scan(compose, (m_in, a_in), axis=0)
+        x = c.rec_lin(c.to_mont(e.limbs), self.limbs)
         return FArray(self.field, x), FArray(self.field, x[-1])
 
     def shift_push(self, first: "FArray") -> "FArray":
@@ -366,7 +373,11 @@ class FArray:
         )
 
     def to_bytetree(self) -> ByteTree:
-        return self.field.to_bytetree(self)
+        bt = getattr(self, "_bt", None)
+        if bt is None:
+            bt = self.field.to_bytetree(self)
+            self._bt = bt
+        return bt
 
     def __repr__(self):
         return f"FArray(shape={self.shape}, {self.field})"
@@ -445,14 +456,15 @@ class ModPGroup:
         if extra:
             raw = raw.copy()
             raw[:, 0] &= 0xFF >> extra
-        ts = [int.from_bytes(raw[i].tobytes(), "big") % self.p for i in range(n)]
-        base = GArray(self, self.ctx.encode(ts))
+        # Vectorized: limbs -> batched reduction mod p -> Montgomery form.
+        Lw = max(self.L, num_limbs(bits))
+        wide = jnp.asarray(bytes_be_to_limbs(raw, Lw))
+        base = self.ctx.to_mont(self.ctx.reduce_std(wide))
         # raise to co-order to land in the subgroup
-        co = self.ring  # exponent co-order is small (2 for safe primes)
         e = jnp.asarray(int_to_limbs(self.coorder, num_limbs(64)))
         return GArray(
             self,
-            self.ctx.exp(base.limbs, e, self.coorder.bit_length()),
+            self.ctx.exp(base, e, self.coorder.bit_length()),
         )
 
     # --------------------------------------------------------- serialize
@@ -561,7 +573,7 @@ class ModPGroup:
 class GArray:
     """Array (or scalar) of group elements in Montgomery form."""
 
-    __slots__ = ("grp", "limbs")
+    __slots__ = ("grp", "limbs", "_bt")
 
     def spill(self) -> "GArray":
         """Disk-spill backend hook (arrays=file)."""
@@ -679,7 +691,13 @@ class GArray:
         return bool(jnp.array_equal(powed, one))
 
     def to_bytetree(self) -> ByteTree:
-        return self.grp.elem_to_bytetree(self)
+        """Serialized form, memoized: publish + transcript export + seed
+        derivation reuse one device->host fetch (arrays are immutable)."""
+        bt = getattr(self, "_bt", None)
+        if bt is None:
+            bt = self.grp.elem_to_bytetree(self)
+            self._bt = bt
+        return bt
 
     def __repr__(self):
         return f"GArray(shape={self.shape}, {self.grp})"

@@ -283,9 +283,9 @@ class PoSVerifier:
 
 
 def _random_bits_field(ring, n, bits, randomsource):
-    """n uniform `bits`-bit integers as field elements (mod q)."""
-    xs = [randomsource.random_int(bits) for _ in range(n)]
-    return ring.from_ints(xs)
+    """n uniform `bits`-bit integers as field elements (mod q),
+    vectorized (bulk source bytes -> device reduction)."""
+    return ring.random_bits(n, bits, randomsource)
 
 
 def _batch_vector(ring, n, ebitlen, prg, seed: bytes):
