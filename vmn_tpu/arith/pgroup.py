@@ -231,6 +231,21 @@ class PField:
             return self.from_int(x)
         if size is not None and len(bt.children) != size:
             raise ByteTreeError("wrong field array length")
+        from vmn_tpu.eio.bytetree import parse_uniform_array
+
+        raw = parse_uniform_array(bt)
+        if raw is not None and raw.shape[1] == self.bytelen:
+            # Vectorized fast path (no per-element Python ints): range
+            # check 0 <= x < q lexicographically on the raw bytes.
+            qb = np.frombuffer(self.q.to_bytes(self.bytelen, "big"),
+                               np.uint8)
+            diff = raw.astype(np.int16) - qb.astype(np.int16)
+            first_nz = (diff != 0).argmax(axis=1)
+            rows = np.arange(raw.shape[0])
+            lt = diff[rows, first_nz] < 0
+            if not lt.all():
+                raise ByteTreeError("field element out of range")
+            return FArray(self, jnp.asarray(bytes_be_to_limbs(raw, self.L)))
         xs = [c.to_int_unsigned() for c in bt.children]
         if any(x >= self.q for x in xs):
             raise ByteTreeError("field element out of range")

@@ -21,7 +21,6 @@ communication are reported like the reference `postlude`
 from __future__ import annotations
 
 import argparse
-import pickle
 import sys
 import time
 from pathlib import Path
@@ -69,62 +68,6 @@ def _mk_party(prot, priv):
         prot.to_params(), _board(prot, priv, j), rs, priv.dir
     )
     return party
-
-
-def _state_file(priv) -> Path:
-    return Path(priv.dir) / ".vmn_state"
-
-
-def _save_keys(party, priv):
-    """Persist DKG result (reference: DKG KeyAndPoly file DKG.java:147-175
-    — disk state for crash recovery / later sessions)."""
-    import numpy as np
-
-    st = {
-        "share": np.asarray(party.dkg.secret_share.limbs),
-        "poly": np.asarray(party.dkg.poly_in_exp.limbs),
-        "k": party.dkg.k,
-    }
-    _state_file(priv).parent.mkdir(parents=True, exist_ok=True)
-    with open(_state_file(priv), "wb") as f:
-        pickle.dump(st, f)
-
-
-def _save_external_pk(party, priv, pk):
-    """Persist an externally set public key (reference:
-    MixNetElGamal.setPublicKey:227-242 writes the key to disk)."""
-    _state_file(priv).parent.mkdir(parents=True, exist_ok=True)
-    with open(_state_file(priv), "wb") as f:
-        pickle.dump({"extpk": pk.to_bytetree().to_bytes()}, f)
-
-
-def _load_keys(party, priv):
-    import jax.numpy as jnp
-
-    from vmn_tpu.arith.pgroup import FArray, GArray
-    from vmn_tpu.eio.bytetree import ByteTree
-    from vmn_tpu.protocol.distr.dkg import DKGResult
-    from vmn_tpu.protocol.elgamal import ElGamalPublicKey
-
-    path = _state_file(priv)
-    if not path.exists():
-        raise SystemExit("no key state; run vmn -keygen or -setpk first")
-    with open(path, "rb") as f:
-        st = pickle.load(f)
-    group = party.ctx.key_group()
-    if "extpk" in st:
-        party.set_public_key(
-            ElGamalPublicKey.from_bytetree(
-                group, ByteTree.from_bytes(st["extpk"])
-            )
-        )
-        return
-    party.dkg = DKGResult(
-        group,
-        FArray(group.ring, jnp.asarray(st["share"])),
-        GArray(group, jnp.asarray(st["poly"])),
-        st["k"],
-    )
 
 
 def main(argv=None) -> int:
@@ -178,17 +121,22 @@ def main(argv=None) -> int:
         party.set_active(active)
 
     if args.delete:
+        # Delete SESSION state (nizkp + cached precomp), keep keys —
+        # reference: MixNetElGamalSession.deleteState:136-150 with the
+        # documented warning that precomputed data is never reused
+        # (MixNetElGamalTool.java:487-496).
         import shutil
 
-        for sub in Path(priv.dir).glob("nizkp.*"):
+        sub = Path(priv.dir) / f"nizkp.{args.auxsid}"
+        if sub.exists():
             shutil.rmtree(sub)
-        _state_file(priv).unlink(missing_ok=True)
-        print("deleted session state")
+        if party.state is not None:
+            party.state.sub(f"session.{args.auxsid}").delete()
+        print(f"deleted session state for auxsid {args.auxsid!r}")
         return 0
 
     if args.keygen:
-        pk = party.keygen()
-        _save_keys(party, priv)
+        pk = party.keygen()  # persists KeyAndPoly.bt / FullPublicKey.bt
         if len(args.files) >= 3:
             iface_out.write_public_key(pk, args.files[2])
         _postlude(party, t0)
@@ -198,12 +146,16 @@ def main(argv=None) -> int:
         if len(args.files) < 3:
             raise SystemExit("public key file required")
         pk = iface_in.read_public_key(party.ctx.key_group(), args.files[2])
-        party.set_public_key(pk)
-        _save_external_pk(party, priv, pk)
+        party.set_public_key(pk)  # persists ExternalPublicKey.bt
         _postlude(party, t0)
         return 0
 
-    _load_keys(party, priv)
+    from vmn_tpu.protocol.mixnet.party import ProtocolError
+
+    try:
+        party.load_keys()
+    except ProtocolError as e:
+        raise SystemExit(f"vmn: {e}")
     session = party.session(args.auxsid, width)
     ciph_group = party.ctx.session(args.auxsid).ciph_group(width)
 
@@ -218,8 +170,6 @@ def main(argv=None) -> int:
     if len(args.files) < 4:
         raise SystemExit("input and output files required")
     ciphs = iface_in.read_ciphertexts(ciph_group, args.files[2])
-
-    from vmn_tpu.protocol.mixnet.party import ProtocolError
 
     try:
         if args.mix:

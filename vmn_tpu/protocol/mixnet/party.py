@@ -36,11 +36,12 @@ from typing import List, Optional
 
 from vmn_tpu import VCR_COMPAT_VERSION
 from vmn_tpu.arith.pgroup import FArray, GArray, Permutation, PPArray, PPGroup
-from vmn_tpu.eio.bytetree import ByteTree, ByteTreeError, leaf, node
+from vmn_tpu.eio.bytetree import ByteTree, ByteTreeError, int_leaf, leaf, node
 from vmn_tpu.protocol import elgamal
 from vmn_tpu.protocol.com.board import BulletinBoard
 from vmn_tpu.protocol.context import ProtocolContext, ProtocolParams
 from vmn_tpu.protocol.distr import dkg as dkg_mod
+from vmn_tpu.protocol.state import StateDir
 from vmn_tpu.protocol.hvzk.pos_tw import (
     PoSParams,
     PoSProver,
@@ -92,6 +93,11 @@ class MixNetParty:
         self.k = board.k
         self.rs = randomsource
         self.directory = Path(directory) if directory else None
+        self.state = (
+            StateDir(self.directory / "state")
+            if self.directory is not None
+            else None
+        )
         self.cipher = cipher
         self.plainkeys = None
         self.dkg: Optional[dkg_mod.DKGResult] = None
@@ -114,11 +120,54 @@ class MixNetParty:
     # ------------------------------------------------------------ keygen
 
     def keygen(self) -> "elgamal.ElGamalPublicKey":
-        """Run DKG; returns the full public key (g, y)
-        (reference: MixNetElGamal.generatePublicKey:195-209)."""
+        """Run DKG; returns the full public key (g, y).  Idempotent: the
+        result is cached on disk as byte trees and reloaded on restart
+        (reference: MixNetElGamal.generatePublicKey:195-209; the
+        KeyAndPoly disk cache DKG.java:147-175)."""
+        if self.state is not None and self.load_keys(required=False):
+            return self.full_public_key()
         self.setup()
         self.dkg = dkg_mod.run_dkg(self.ctx, self.board, self.rs, self.cipher)
+        if self.state is not None:
+            self.state.write_bytetree(
+                "KeyAndPoly.bt",
+                node(
+                    self.dkg.secret_share.to_bytetree(),
+                    self.dkg.poly_bytetree(),
+                    int_leaf(self.dkg.k),
+                ),
+            )
+            self.state.write_bytetree(
+                "FullPublicKey.bt", self.full_public_key().to_bytetree()
+            )
         return self.full_public_key()
+
+    def load_keys(self, required: bool = True) -> bool:
+        """Reload persisted key state (DKG result or external key) from
+        the working directory (reference: DKG.java:147-175 cache path).
+        Returns True when key state was found."""
+        if self.state is not None:
+            bt = self.state.read_bytetree("KeyAndPoly.bt")
+            if bt is not None:
+                group = self.ctx.key_group()
+                self.dkg = dkg_mod.DKGResult(
+                    group,
+                    group.ring.from_bytetree(bt[0]),
+                    group.elem_from_bytetree(bt[1], validate=False),
+                    bt[2].to_u32(),
+                )
+                return True
+            ext = self.state.read_bytetree("ExternalPublicKey.bt")
+            if ext is not None:
+                self.external_pk = elgamal.ElGamalPublicKey.from_bytetree(
+                    self.ctx.key_group(), ext
+                )
+                return True
+        if required:
+            raise ProtocolError(
+                "no key state; run keygen or set a public key first"
+            )
+        return False
 
     def set_public_key(self, pk: "elgamal.ElGamalPublicKey") -> None:
         """External-key mode: shuffle against a key generated elsewhere
@@ -126,6 +175,10 @@ class MixNetParty:
         (reference: MixNetElGamal.setPublicKey:227-242)."""
         self.external_pk = pk
         self.dkg = None
+        if self.state is not None:
+            self.state.write_bytetree(
+                "ExternalPublicKey.bt", pk.to_bytetree()
+            )
 
     def full_public_key(self) -> "elgamal.ElGamalPublicKey":
         if self.external_pk is not None:
@@ -205,6 +258,11 @@ class MixSession:
                 CoinFlipPRingSource(self.board.scope("coins"), party.rs)
             )
         self.nizkp = nizkp
+        self.state = (
+            party.state.sub(f"session.{auxsid}")
+            if party.state is not None
+            else None
+        )
         self._precomp: Optional[_PrecompState] = None
         self.proofs = nizkp / "proofs" if nizkp else None
         if nizkp is not None:
@@ -247,7 +305,16 @@ class MixSession:
         """Offline phase: independent generators, permutation
         commitments with PoSC proofs, re-encryption factors — all for
         the maximum anticipated N (reference:
-        ShufflerElGamalSession.precomp:534-664)."""
+        ShufflerElGamalSession.precomp:534-664).
+
+        Idempotent across processes: the full state is persisted as
+        byte trees under the session state directory and reloaded when
+        the `.precomp` marker is present (reference: disk caches
+        ShufflerElGamalSession.java:548-663,
+        PermutationCommitment.java:156-218)."""
+        if self.state is not None and self.state.has_marker(".precomp"):
+            self._precomp = self._load_precomp()
+            return
         party = self.party
         ctx = self.ctx
         b = self.board.scope("precomp")
@@ -376,7 +443,87 @@ class MixSession:
             if st.reenc_exponents is not None:
                 st.reenc_exponents = st.reenc_exponents.spill()
                 st.reenc_factors = st.reenc_factors.spill()
+        self._save_precomp(st)
         self._precomp = st
+
+    # ------------------------------------------------ precomp persistence
+
+    def _save_precomp(self, st: "_PrecompState") -> None:
+        """Persist every precomputed array as byte-tree files + the
+        one-way `.precomp` marker, so `vmn -precomp` survives into a
+        later `vmn -mix` process and a crash loses nothing (reference:
+        ShufflerElGamalSession.java:548-663)."""
+        sd = self.state
+        if sd is None:
+            return
+        sd.write_int("maxciph", st.maxciph)
+        sd.write_int("activethreshold", st.active_threshold)
+        sd.write_bytetree("Generators.bt", st.generators.to_bytetree())
+        sd.write_bytetree(
+            "RaisedGenerators.bt", st.raised_generators.to_bytetree()
+        )
+        sd.write_bytetree("RaisedExponent.bt", st.raised_exp.to_bytetree())
+        for l, c in st.commitments.items():
+            sd.write_bytetree(
+                f"PermutationCommitment{l:02d}.bt", c.to_bytetree()
+            )
+        for l, c in st.raised_commitments.items():
+            if c is not None:
+                sd.write_bytetree(
+                    f"RaisedCommitment{l:02d}.bt", c.to_bytetree()
+                )
+        if st.exponents is not None:
+            sd.write_bytetree("Exponents.bt", st.exponents.to_bytetree())
+            sd.write_indices("Permutation.bt", st.permutation.tbl)
+        if st.reenc_exponents is not None:
+            sd.write_bytetree(
+                "ReencExponents.bt", st.reenc_exponents.to_bytetree()
+            )
+            sd.write_bytetree(
+                "ReencFactors.bt", st.reenc_factors.to_bytetree()
+            )
+        sd.write_marker(".precomp")
+
+    def _load_precomp(self) -> "_PrecompState":
+        """Rebuild `_PrecompState` from the session state directory
+        (our own trusted cache: parsed without subgroup re-validation)."""
+        sd = self.state
+        ctx = self.ctx
+        field = ctx.pgroup.ring
+        maxciph = sd.read_int("maxciph")
+        active_threshold = sd.read_int("activethreshold")
+        gens = ctx.pgroup.elem_from_bytetree(
+            sd.read_bytetree("Generators.bt"), maxciph, validate=False
+        )
+        raised = ctx.pgroup.elem_from_bytetree(
+            sd.read_bytetree("RaisedGenerators.bt"), maxciph, validate=False
+        )
+        raised_exp = field.from_bytetree(sd.read_bytetree("RaisedExponent.bt"))
+        st = _PrecompState(maxciph, gens, raised, raised_exp,
+                           active_threshold)
+        for l in range(1, active_threshold + 1):
+            bt = sd.read_bytetree(f"PermutationCommitment{l:02d}.bt")
+            if bt is not None:
+                st.commitments[l] = ctx.pgroup.elem_from_bytetree(
+                    bt, maxciph, validate=False
+                )
+            rbt = sd.read_bytetree(f"RaisedCommitment{l:02d}.bt")
+            if rbt is not None:
+                st.raised_commitments[l] = ctx.pgroup.elem_from_bytetree(
+                    rbt, maxciph, validate=False
+                )
+        ebt = sd.read_bytetree("Exponents.bt")
+        if ebt is not None:
+            st.exponents = field.from_bytetree(ebt, maxciph)
+            st.permutation = Permutation(sd.read_indices("Permutation.bt"))
+        rbt = sd.read_bytetree("ReencExponents.bt")
+        if rbt is not None:
+            plain_ring = _plain_ring_of(ctx, self.width)
+            st.reenc_exponents = plain_ring.from_bytetree(rbt, maxciph)
+            st.reenc_factors = self._ciph_group().elem_from_bytetree(
+                sd.read_bytetree("ReencFactors.bt"), maxciph, validate=False
+            )
+        return st
 
     def _shrink(self, n: int) -> "_PrecompState":
         """Shrink precomputed state to the actual number of ciphertexts
@@ -540,9 +687,29 @@ class MixSession:
         precomputation was run, plain PoS chain otherwise
         (reference: MixNetElGamalSession.shuffle:208-246 dispatch;
         ShufflerElGamalSession.shuffle:362-433 +
-        performShuffling:250-352)."""
+        performShuffling:250-352).
+
+        One-shot per session (marker `.shuffle`,
+        reference: MixNetElGamalSession.java:212-215): a re-run after
+        completion returns the recorded output (crash resume); precomp
+        state persisted by an earlier process is picked up here."""
+        if self.state is not None:
+            if self.state.has_marker(".shuffle"):
+                out = self._reload_ciphertexts("ShuffledCiphertexts.bt",
+                                               ciphertexts.size)
+                if out is not None:
+                    return out
+                raise ProtocolError(
+                    "session already used for shuffling (vmn -delete to "
+                    "reset)"
+                )
+            if self._precomp is None and self.state.has_marker(".precomp"):
+                self._precomp = self._load_precomp()
         if self._precomp is not None:
-            return self.committed_shuffle(ciphertexts, write_type)
+            out = self.committed_shuffle(ciphertexts, write_type)
+            if self.state is not None:
+                self.state.write_marker(".shuffle")
+            return out
         party = self.party
         ctx = self.ctx
         n = ciphertexts.size
@@ -625,7 +792,16 @@ class MixSession:
             raise ProtocolError(
                 f"too few valid proofs ({valid_proofs})"
             )
+        if self.state is not None:
+            self.state.write_marker(".shuffle")
         return inp
+
+    def _reload_ciphertexts(self, name: str, n: int):
+        """Recorded transcript output for idempotent resume, or None."""
+        if self.nizkp is None or not (self.nizkp / name).exists():
+            return None
+        bt = ByteTree.from_bytes((self.nizkp / name).read_bytes())
+        return self._ciph_group().elem_from_bytetree(bt, n, validate=False)
 
     def _prove_pos(self, b, l, prover, pkey, w, wp, s):
         """Fiat–Shamir PoS prover side (reference: PoSTW.prove:94-165)."""
@@ -702,6 +878,23 @@ class MixSession:
         b = self.board.scope("decrypt")
         n = ciphertexts.size
 
+        if self.state is not None and self.state.has_marker(".decrypt"):
+            out = self._reload_plaintexts(n)
+            if out is not None:
+                return out
+            raise ProtocolError(
+                "session already used for decryption (vmn -delete to reset)"
+            )
+
+        # Exchange only with ACTIVE parties; a deactivated server's
+        # factors default to all-ones and are excluded from the combine
+        # via the correct-indices machinery (reference:
+        # DistrElGamalSession.java:112-187 + ProtocolBBT active set;
+        # round-1 waited on every party and deadlocked on -sact).
+        is_active = [False] + [party.active[l] for l in range(1, k + 1)]
+        if sum(is_active) < threshold:
+            raise ProtocolError("fewer than threshold active parties")
+
         if self.nizkp is not None:
             if write_type:
                 _write(self.nizkp / "type", "decryption")
@@ -717,19 +910,22 @@ class MixSession:
         field = ctx.pgroup.ring
         inv_factor = _inverse_factor(field, k)
 
-        correct = [False] + [True] * k
+        correct = list(is_active)
 
         # --- own factors: f_j = u^{-x_j * invFactor} -------------------
         x = party.dkg.secret_share
         exp_own = x.neg().mul(field.from_int(inv_factor))
         f_own = u.exp(exp_own)
-        b.publish(f"DecryptionFactors{self.j}",
-                  f_own.to_bytetree().to_bytes())
+        if is_active[self.j]:
+            b.publish(f"DecryptionFactors{self.j}",
+                      f_own.to_bytetree().to_bytes())
 
-        # --- exchange factors ------------------------------------------
+        # --- exchange factors (active parties only) --------------------
         factors = [None] * (k + 1)
         for l in range(1, k + 1):
-            if l == self.j:
+            if not is_active[l]:
+                factors[l] = _plain_group_of(ctx, self.width).one((n,))
+            elif l == self.j:
                 factors[l] = f_own
             else:
                 bt = ByteTree.from_bytes(
@@ -765,12 +961,17 @@ class MixSession:
         yp_own = g_basic.exp(r)
         Bp_own = A.exp(r)
         com_own = node(yp_own.to_bytetree(), Bp_own.to_bytetree())
-        b.publish(f"DecrCommitment{self.j}", com_own.to_bytes())
+        if is_active[self.j]:
+            b.publish(f"DecrCommitment{self.j}", com_own.to_bytes())
 
         yps = [None] * (k + 1)
         Bps = [None] * (k + 1)
         for l in range(1, k + 1):
-            if l == self.j:
+            if not is_active[l]:
+                yps[l] = ctx.pgroup.one()
+                Bps[l] = _plain_group_of(ctx, self.width).one()
+                com_bt = node(yps[l].to_bytetree(), Bps[l].to_bytetree())
+            elif l == self.j:
                 yps[l], Bps[l] = yp_own, Bp_own
                 com_bt = com_own
             else:
@@ -801,10 +1002,13 @@ class MixSession:
 
         # --- replies: k_x = -x*invFactor*v + r -------------------------
         kx_own = exp_own.mul(v_f).add(r)
-        b.publish(f"DecrReply{self.j}", kx_own.to_bytetree().to_bytes())
+        if is_active[self.j]:
+            b.publish(f"DecrReply{self.j}", kx_own.to_bytetree().to_bytes())
         kxs = [None] * (k + 1)
         for l in range(1, k + 1):
-            if l == self.j:
+            if not is_active[l]:
+                kxs[l] = field.from_int(0)
+            elif l == self.j:
                 kxs[l] = kx_own
             else:
                 bt = ByteTree.from_bytes(b.wait_for(l, f"DecrReply{l}"))
@@ -848,7 +1052,18 @@ class MixSession:
         if self.nizkp is not None:
             _write(self.nizkp / "Plaintexts.bt",
                    plaintexts.to_bytetree().to_bytes())
+        if self.state is not None:
+            self.state.write_marker(".decrypt")
         return plaintexts
+
+    def _reload_plaintexts(self, n: int):
+        """Recorded plaintexts for idempotent resume, or None."""
+        if self.nizkp is None or not (self.nizkp / "Plaintexts.bt").exists():
+            return None
+        bt = ByteTree.from_bytes((self.nizkp / "Plaintexts.bt").read_bytes())
+        return _plain_group_of(self.ctx, self.width).elem_from_bytetree(
+            bt, n, validate=False
+        )
 
     # --------------------------------------------------------------- mix
 
