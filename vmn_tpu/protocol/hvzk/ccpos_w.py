@@ -104,10 +104,23 @@ class CCPoSVerifier:
             ring, self.size, self.par.ebitlen, self.par.prg, prg_seed
         )
 
-    def compute_AB(self):
-        """A = prod u^e, B = prod w^e — overlappable with the prover."""
-        self.A = self.u.exp_prod(self.e, self.par.ebitlen)
-        self.B = self.w.exp_prod(self.e, self.par.ebitlen)
+    def compute_AB(self, raisedu=None):
+        """A = prod u^e, B = prod w^e — overlappable with the prover.
+
+        With precomputation the verifier holds u^ρ (ρ a secret 50-bit
+        exponent computed offline) and folds the A-side into the
+        ciphertext-side multi-exp: AB = prod (w_c·u^ρ)_i^{e_i} per
+        component, eliminating the separate A = prod u^e / prod h^{k_E}
+        multi-exps (~1/3 of online verification cost; reference:
+        CCPoSBasicW.computeAB:490-505, CCPoS.java:75-96)."""
+        if raisedu is None:
+            self.A = self.u.exp_prod(self.e, self.par.ebitlen)
+            self.B = self.w.exp_prod(self.e, self.par.ebitlen)
+            self.AB = None
+        else:
+            self.AB = _mul_each(self.w, raisedu).exp_prod(
+                self.e, self.par.ebitlen
+            )
 
     def set_commitment(self, bt: Optional[ByteTree]) -> ByteTree:
         grp = self.g.grp
@@ -122,7 +135,17 @@ class CCPoSVerifier:
             self.Bp = ciph.one()
         return node(self.Ap.to_bytetree(), self.Bp.to_bytetree())
 
-    def verify(self, reply_bt: ByteTree, v_int: int) -> bool:
+    def verify(self, reply_bt: ByteTree, v_int: int,
+               raisedh=None, raised_exponent=None) -> bool:
+        """Verification equations (reference: CCPoSBasicW.verify:520-585).
+
+        Plain mode checks A and B separately; raised mode (precomp)
+        checks the single folded equation
+
+            AB^v (Bp·Ap^ρ) == pkey^{-k_B} prod(wp·h^ρ)^{k_E} g^{ρ·k_A}
+
+        per ciphertext component — the raised A-equation times the
+        B-equation, sound because ρ is secret and uniform."""
         grp = self.g.grp
         ring = grp.ring
         n = self.size
@@ -136,6 +159,17 @@ class CCPoSVerifier:
             return False
 
         v = ring.from_int(v_int)
+        if raised_exponent is not None and self.AB is not None:
+            ap_raised = self.Ap.exp_bits(raised_exponent, 64)
+            lhs = self.AB.exp_mul(v, _mul_each(self.Bp, ap_raised))
+            g_term = self.g.exp(k_A.mul(raised_exponent))
+            rhs = _mul_each(
+                self.pkey.exp(k_B.neg()).mul(
+                    _mul_each(self.wp, raisedh).exp_prod(k_E)
+                ),
+                g_term,
+            )
+            return lhs.equals(rhs)
         ok_a = self.A.exp_mul(v, self.Ap).equals(
             self.g.exp(k_A).mul(self.h.exp_prod(k_E))
         )
@@ -143,6 +177,19 @@ class CCPoSVerifier:
             self.pkey.exp(k_B.neg()).mul(self.wp.exp_prod(k_E))
         )
         return ok_a and ok_b
+
+
+def _mul_each(pp, x):
+    """Multiply a base-group element/array into EVERY leaf of a
+    product-group pytree (the VCR PPGroupElementArray.mul semantics used
+    by the raised fold, reference: CCPoSBasicW.java:502,572)."""
+    from vmn_tpu.arith.pgroup import PPArray
+
+    if isinstance(pp, PPArray):
+        return PPArray(
+            pp.parent, tuple(_mul_each(c, x) for c in pp.components)
+        )
+    return pp.mul(x)
 
 
 def ccpos_seed_data(g, h, u, pkey, w, wp) -> ByteTree:

@@ -212,6 +212,53 @@ class MixNetParty:
         return MixSession(self, auxsid, width, nizkp)
 
 
+class _OptimisticOutput:
+    """Own-turn output computed concurrently with verification of the
+    previous party's proof (reference: optimistic pipelining,
+    ShufflerElGamalSession.committedShuffleVerifyOptim:839-859, joined
+    at :937-944).  The worker computes re-encrypt+permute AND the
+    byte-tree serialization (the host-side cost), overlapping them with
+    the verifier's multi-exps; the result is discarded when the
+    verification rejects (the chain input changes to the passthrough).
+    """
+
+    def __init__(self, inp, compute):
+        import threading
+
+        self.based_on = inp
+        self.out = None
+        self.out_bytes = None
+        self.error = None
+
+        def work():
+            try:
+                out = compute(inp)
+                self.out = out
+                self.out_bytes = out.to_bytetree().to_bytes()
+            except Exception as e:  # noqa: BLE001 - surfaced on join
+                self.error = e
+
+        self.thread = threading.Thread(target=work, daemon=True)
+        self.thread.start()
+
+    def join(self, inp):
+        """Result if it was computed from `inp`, else None."""
+        self.thread.join()
+        if self.error is not None:
+            raise self.error
+        if self.based_on is inp:
+            return self.out, self.out_bytes
+        return None, None
+
+
+def _next_active(party, l, active_threshold):
+    """Next active party index after l in the chain, or 0."""
+    for m in range(l + 1, active_threshold + 1):
+        if party.active[m]:
+            return m
+    return 0
+
+
 class _PrecompState:
     """Precomputed per-session state (reference: the cached arrays of
     ShufflerElGamalSession + PermutationCommitment)."""
@@ -598,16 +645,24 @@ class MixSession:
         pos_par = PoSParams(ctx.vbitlen, ctx.ebitlen, ctx.rbitlen, ctx.prg)
         active_threshold = st.active_threshold
 
+        def _own_output(x):
+            return x.mul(st.reenc_factors).permute(st.permutation.inv())
+
         inp = ciphertexts
         valid_proofs = 0
+        optimistic: Optional[_OptimisticOutput] = None
         for l in range(1, active_threshold + 1):
             if not party.active[l]:
                 continue
             if l == self.j:
-                out = inp.mul(st.reenc_factors).permute(
-                    st.permutation.inv()
-                )
-                b.publish(f"Ciphertext{l}", out.to_bytetree().to_bytes())
+                out = out_bytes = None
+                if optimistic is not None:
+                    out, out_bytes = optimistic.join(inp)
+                    optimistic = None
+                if out is None:
+                    out = _own_output(inp)
+                    out_bytes = out.to_bytetree().to_bytes()
+                b.publish(f"Ciphertext{l}", out_bytes)
                 P = CCPoSProver(pos_par, party.rs)
                 P.set_instance(
                     g, st.generators, st.commitments[l], wide_pk_elem,
@@ -636,6 +691,13 @@ class MixSession:
                     out = self._ciph_group().elem_from_bytetree(out_bt, n)
                 except (ByteTreeError, ValueError):
                     out = inp.copy_of_range(0, n)
+                # Optimistic: our own turn is next — compute our output
+                # from l's claimed output while verifying l's proof.
+                if (
+                    _next_active(party, l, active_threshold) == self.j
+                    and st.reenc_factors is not None
+                ):
+                    optimistic = _OptimisticOutput(out, _own_output)
                 ok = self._verify_ccpos(
                     b, l, pos_par, g, st, wide_pk_elem, inp, out
                 )
@@ -657,7 +719,12 @@ class MixSession:
         return inp
 
     def _verify_ccpos(self, b, l, pos_par, g, st, pkey, w, wp) -> bool:
+        """CCPoS verification with the precomputed 50-bit raised values
+        — the A-side multi-exps fold into the ciphertext side for ~1/3
+        lower online cost (reference: CCPoS.java:75-96,
+        ShufflerElGamalSession.java:875-959)."""
         ctx = self.ctx
+        raisedu = st.raised_commitments.get(l)
         V = CCPoSVerifier(pos_par)
         V.set_instance(g, st.generators, st.commitments[l], pkey, w, wp)
         seed = ctx.challenger.challenge(
@@ -666,7 +733,7 @@ class MixSession:
             8 * ctx.prg.min_seed_bytes, ctx.rbitlen,
         )
         V.set_batch_vector(seed)
-        V.compute_AB()
+        V.compute_AB(raisedu)
         com_bt = ByteTree.from_bytes(b.wait_for(l, f"CCPoSCommitment{l}"))
         commitment = V.set_commitment(com_bt)
         self._export(self._pf("CCPoSCommitment", l), commitment)
@@ -674,7 +741,11 @@ class MixSession:
             ccpos_challenge_data(seed, commitment), ctx.vbitlen, ctx.rbitlen
         )
         reply_bt = ByteTree.from_bytes(b.wait_for(l, f"CCPoSReply{l}"))
-        verdict = V.verify(reply_bt, int.from_bytes(v_bytes, "big"))
+        verdict = V.verify(
+            reply_bt, int.from_bytes(v_bytes, "big"),
+            raisedh=st.raised_generators if raisedu is not None else None,
+            raised_exponent=st.raised_exp if raisedu is not None else None,
+        )
         if verdict:
             self._export(self._pf("CCPoSReply", l), reply_bt)
         return verdict
@@ -752,15 +823,27 @@ class MixSession:
             prover = PoSProver(pos_par, party.rs)
             prover.precompute(g, generators, permutation)
 
-        # Sequential chain over parties.
+        # Sequential chain over parties, with optimistic own-output
+        # computation overlapping the previous verification
+        # (reference: ShufflerElGamalSession.java:839-944).
+        def _own_output(x):
+            return x.mul(reenc_factors).permute(permutation.inv())
+
         inp = ciphertexts
         valid_proofs = 0
+        optimistic: Optional[_OptimisticOutput] = None
         for l in range(1, active_threshold + 1):
             if not party.active[l]:
                 continue
             if l == self.j:
-                out = inp.mul(reenc_factors).permute(permutation.inv())
-                b.publish(f"Ciphertext{l}", out.to_bytetree().to_bytes())
+                out = out_bytes = None
+                if optimistic is not None:
+                    out, out_bytes = optimistic.join(inp)
+                    optimistic = None
+                if out is None:
+                    out = _own_output(inp)
+                    out_bytes = out.to_bytetree().to_bytes()
+                b.publish(f"Ciphertext{l}", out_bytes)
                 self._prove_pos(
                     b, l, prover, wide_pk_elem, inp, out, reenc_exponents
                 )
@@ -771,6 +854,12 @@ class MixSession:
                     out = self._ciph_group().elem_from_bytetree(out_bt, n)
                 except (ByteTreeError, ValueError):
                     out = inp.copy_of_range(0, n)
+                if (
+                    _next_active(party, l, active_threshold) == self.j
+                    and self.j <= active_threshold
+                    and permutation is not None
+                ):
+                    optimistic = _OptimisticOutput(out, _own_output)
                 ok = self._verify_pos(
                     b, l, pos_par, g, generators, wide_pk_elem, inp, out
                 )
