@@ -332,6 +332,136 @@ def _mont_fb_kernel(
     out_ref[:] = acc_ref[:]
 
 
+# ------------------------------------------------ window-8 fixed base
+
+_FB8_W = 8
+
+
+def _mont_fb8_kernel(
+    ndig: int,
+    tbl_ref,  # (ndig*256, L) uint32 HBM, Montgomery form
+    e_ref,  # (Le, TN) VMEM
+    m_ref,
+    one_ref,
+    mp_ref,
+    out_ref,
+    acc_ref,  # (L, TN) VMEM scratch
+    buf_ref,  # (2*256, L) VMEM scratch: double-buffered digit rows
+    sem,  # (2,) DMA semaphores
+):
+    """Window-8 fixed-base exponentiation: half the Montgomery products
+    of the window-4 kernel (256 vs 512 for 2048-bit exponents).
+
+    The 33 MB radix-256 table lives in HBM; each digit's 256-row block
+    is DMA'd into one of two VMEM buffers, double-buffered so the copy
+    of digit j+1 overlaps the product of digit j.  The per-lane digit
+    gather stays an exact one-hot f32 matmul on the MXU (256x L x TN).
+    """
+    L = m_ref.shape[0]
+    TN = e_ref.shape[1]
+    m = m_ref[:]
+    mp = mp_ref[0, 0]
+    zero2 = jnp.zeros((2, TN), jnp.uint32)
+    m_ext = jnp.concatenate([m, zero2], axis=0)
+    W = 1 << _FB8_W
+    digits_per_limb = LIMB_BITS // _FB8_W  # = 2
+    dig_mask = jnp.uint32(W - 1)
+
+    def start_dma(slot, j):
+        return pltpu.make_async_copy(
+            tbl_ref.at[pl.ds(j * W, W), :],
+            buf_ref.at[pl.ds(slot * W, W), :],
+            sem.at[slot],
+        )
+
+    start_dma(0, 0).start()
+    acc_ref[:] = one_ref[:]
+
+    def digit_body(j, _):
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < ndig)
+        def _():
+            start_dma(jax.lax.rem(j + 1, 2), j + 1).start()
+
+        start_dma(slot, j).wait()
+
+        limb = j // digits_per_limb
+        shift = (j % digits_per_limb) * _FB8_W
+        row = e_ref[pl.ds(limb, 1), :]  # (1, TN)
+        dig = ((row >> shift.astype(jnp.uint32)) & dig_mask).astype(
+            jnp.int32
+        )
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (W, TN), 0) == dig
+        ).astype(jnp.float32)
+        trow = (
+            buf_ref[pl.ds(slot * W, W), :]
+            .astype(jnp.int32)
+            .astype(jnp.float32)
+        )  # (256, L)
+        fac = (
+            jax.lax.dot_general(
+                trow,
+                onehot,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            .astype(jnp.int32)
+            .astype(jnp.uint32)
+        )  # (L, TN)
+        acc_ref[:] = _mmul_rows(acc_ref, 0, L, fac, m, mp, m_ext)
+        return 0
+
+    jax.lax.fori_loop(0, ndig, digit_body, 0, unroll=False)
+    out_ref[:] = acc_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n",))
+def mont_fb8_exp_pallas(table, e, m, mprime, one_mont, tile_n=None):
+    """prod_j table[j][digit8_j(e)] via the window-8 fixed-base kernel.
+
+    table: (ndig, 256, L) Montgomery-form uint32 (HBM-resident).
+    e: (N, Le) standard limbs.  Returns (N, L).
+    """
+    ndig, W, L = table.shape
+    assert W == 1 << _FB8_W
+    N, Le = e.shape
+    need_limbs = (ndig * _FB8_W + LIMB_BITS - 1) // LIMB_BITS
+    if Le < need_limbs:
+        e = jnp.concatenate(
+            [e, jnp.zeros((N, need_limbs - Le), jnp.uint32)], axis=1
+        )
+        Le = need_limbs
+    tn = tile_n or min(TILE_N, _round_up(N, 128))
+    mp2 = jnp.asarray(mprime, jnp.uint32).reshape(1, 1)
+    m_col = jnp.broadcast_to(m.reshape(L, 1), (L, tn))
+    one_col = jnp.broadcast_to(one_mont.reshape(L, 1), (L, tn))
+    kernel = functools.partial(_mont_fb8_kernel, ndig)
+    out_t = pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(N, tn),),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+            pl.BlockSpec((Le, tn), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, tn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, tn), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (L, tn), lambda i: (0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((L, e.T.shape[1]), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((L, tn), jnp.uint32),
+            pltpu.VMEM((2 * (1 << _FB8_W), L), jnp.uint32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(table.reshape(ndig * (1 << _FB8_W), L), e.T, m_col, one_col, mp2)
+    return out_t.T
+
+
 @functools.partial(jax.jit, static_argnames=("tile_n",))
 def mont_fb_exp_pallas(table, e, m, mprime, one_mont, tile_n=None):
     """prod_j table[j][digit_j(e)] via the fixed-base Pallas kernel.

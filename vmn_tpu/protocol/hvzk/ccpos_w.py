@@ -63,12 +63,15 @@ class CCPoSProver:
 
         self.alpha = ring.random((), self.rs, par.rbitlen)
         ebl = par.ebitlen + par.vbitlen + par.rbitlen
+        eps_bits = min(ebl, ring.nbits)
         self.epsilon = _random_bits_field(ring, n, ebl, self.rs)
-        self.Ap = self.g.exp(self.alpha).mul(self.h.exp_prod(self.epsilon))
+        self.Ap = self.g.exp(self.alpha).mul(
+            self.h.exp_prod(self.epsilon, eps_bits)
+        )
 
         self.beta = _plain_ring(self.pkey).random((), self.rs, par.rbitlen)
         self.Bp = self.pkey.exp(self.beta.neg()).mul(
-            self.wp.exp_prod(self.epsilon)
+            self.wp.exp_prod(self.epsilon, eps_bits)
         )
         return node(self.Ap.to_bytetree(), self.Bp.to_bytetree())
 

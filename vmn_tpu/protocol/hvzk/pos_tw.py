@@ -64,11 +64,17 @@ class PoSProver:
         self.alpha = ring.random((), self.rs, self.par.rbitlen)
         ebl = self.par.ebitlen + self.par.vbitlen + self.par.rbitlen
         # epsilon: random (ebitlen+vbitlen+rbitlen)-bit integers as field
-        # elements (reference: PoSBasicTW.java:470-474)
+        # elements (reference: PoSBasicTW.java:470-474).  Its bit bound
+        # (ebl, or the field size when reduction kicked in) is passed to
+        # every multi-exp — at 2048-bit groups ebl is ~3.3x smaller than
+        # the field, directly cutting the exponentiation work.
+        self.eps_bits = min(ebl, ring.nbits)
         self.epsilon = _random_bits_field(
             ring, self.size, ebl, self.rs
         )
-        self.Ap = g.exp(self.alpha).mul(h.exp_prod(self.epsilon))
+        self.Ap = g.exp(self.alpha).mul(
+            h.exp_prod(self.epsilon, self.eps_bits)
+        )
 
     # ------------------------------------------------------ instance
 
@@ -120,7 +126,7 @@ class PoSProver:
         # F' = pk^{-phi} prod wp_i^{eps_i}   (phi in the plain ring)
         self.phi = _plain_ring(self.pkey).random((), self.rs, par.rbitlen)
         self.Fp = self.pkey.exp(self.phi.neg()).mul(
-            self.wp.exp_prod(self.epsilon)
+            self.wp.exp_prod(self.epsilon, self.eps_bits)
         )
 
         return node(

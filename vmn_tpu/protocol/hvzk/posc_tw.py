@@ -53,8 +53,11 @@ class PoSCProver:
 
         self.alpha = ring.random((), self.rs, par.rbitlen)
         ebl = par.ebitlen + par.vbitlen + par.rbitlen
+        eps_bits = min(ebl, ring.nbits)
         self.epsilon = _random_bits_field(ring, n, ebl, self.rs)
-        self.Ap = self.g.exp(self.alpha).mul(self.h.exp_prod(self.epsilon))
+        self.Ap = self.g.exp(self.alpha).mul(
+            self.h.exp_prod(self.epsilon, eps_bits)
+        )
 
         self.beta = ring.random((n,), self.rs, par.rbitlen)
         xp = x.shift_push(ring.zeros(()))
