@@ -609,6 +609,13 @@ class ECArray:
         return ECArray(self.grp, x, y, inf)
 
     def exp_bits(self, e, nbits: int) -> "ECArray":
+        # Clamp to the exponent's own representation: digits past its
+        # last limb would be read via CLAMPED dynamic slices (JAX
+        # semantics), silently producing wrong scalars — hit when
+        # ebitlen (256) exceeds the curve-order size (224 for P-224).
+        from vmn_tpu.arith.limbs import LIMB_BITS
+
+        nbits = min(nbits, LIMB_BITS * e.limbs.shape[-1])
         x, y, inf = _scalar_mul(
             self.grp.curve, self.x, self.y, self.inf, e.limbs, nbits
         )

@@ -199,6 +199,13 @@ def mont_exp(base, e, m, mprime, one_mont, nbits: int):
     shape = jnp.broadcast_shapes(base.shape[:-1], e.shape[:-1])
     base = jnp.broadcast_to(base, shape + (L,))
     e = jnp.broadcast_to(e, shape + e.shape[-1:])
+    # Digits past e's last limb must read as zero (dynamic slices clamp,
+    # which would repeat the top limb when nbits > 16*Le).
+    need_limbs = ((nbits + _WINDOW - 1) // _WINDOW * _WINDOW
+                  + LIMB_BITS - 1) // LIMB_BITS
+    if e.shape[-1] < need_limbs:
+        pad = jnp.zeros(shape + (need_limbs - e.shape[-1],), jnp.uint32)
+        e = jnp.concatenate([e, pad], axis=-1)
 
     one = jnp.broadcast_to(one_mont, shape + (L,))
 
@@ -421,6 +428,11 @@ def _fixed_base_exp(table, e, m, mprime, one_mont, ndig: int, fb_window: int):
     """
     L = m.shape[-1]
     shape = e.shape[:-1]
+    # zero-pad e so digit reads never clamp at the top limb
+    need_limbs = (ndig * fb_window + LIMB_BITS - 1) // LIMB_BITS
+    if e.shape[-1] < need_limbs:
+        pad = jnp.zeros(shape + (need_limbs - e.shape[-1],), jnp.uint32)
+        e = jnp.concatenate([e, pad], axis=-1)
     acc = jnp.broadcast_to(one_mont, shape + (L,))
     digits_per_limb = LIMB_BITS // fb_window
     dig_mask = (1 << fb_window) - 1

@@ -197,9 +197,11 @@ class PField:
 
     def random_bits_prg(self, n: int, ebitlen: int, prg) -> "FArray":
         """Batching vector: n integers of exactly `ebitlen` bits from a PRG
-        (reference: LargeIntegerArray.random(size, ebitlen, prg) as used in
-        PoSBasicTW.setBatchVector PoSBasicTW.java:533-538).  Values are NOT
-        reduced mod q on derivation (ebitlen < qbits in practice)."""
+        (reference: LargeIntegerArray.random(size, ebitlen, prg) fed into
+        pField.unsafeToElementArray, PoSBasicTW.setBatchVector
+        PoSBasicTW.java:533-538).  Reduced mod q when ebitlen can exceed
+        the field (EC groups: 256-bit batching vectors over a 224-bit
+        field)."""
         nbytes = (ebitlen + 7) // 8
         raw = np.frombuffer(prg.read_bytes(n * nbytes), np.uint8).reshape(
             n, nbytes
@@ -208,8 +210,12 @@ class PField:
         if extra:
             raw = raw.copy()
             raw[:, 0] &= 0xFF >> extra
-        Lneed = self.L
-        return FArray(self, jnp.asarray(bytes_be_to_limbs(raw, Lneed)))
+        if ebitlen >= self.nbits:
+            wide = jnp.asarray(
+                bytes_be_to_limbs(raw, max(self.L, num_limbs(ebitlen)))
+            )
+            return FArray(self, self.ctx.reduce_std(wide))
+        return FArray(self, jnp.asarray(bytes_be_to_limbs(raw, self.L)))
 
     # --------------------------------------------------------- serialize
 
@@ -910,13 +916,21 @@ class PPArray:
     broadcast = _map_op("broadcast")
     take = _map_op("take")
 
+    def _ring_matches(self, e) -> bool:
+        """True when `e` is an element of THIS product group's ring, so
+        the exponent maps componentwise (reference: PPGroupElement.exp
+        — any other ring element is applied to every component).  The
+        check is structural ring equality, NOT component count: for a
+        width-2 ciphertext both the (u,v) pair and the width axis have
+        two components, and a width-2 plain-ring exponent must recurse
+        into each of u and v, not zip across them."""
+        return isinstance(e, PPFArray) and self.parent.ring == e.parent
+
     def exp(self, e) -> "PPArray":
         """Exponent semantics (reference: PPGroupElement.exp): a matching
         product-ring exponent maps componentwise; any other exponent is
         applied to every component."""
-        if isinstance(e, PPFArray) and len(e.components) == len(
-            self.components
-        ):
+        if self._ring_matches(e):
             return PPArray(
                 self.parent,
                 tuple(
@@ -926,9 +940,7 @@ class PPArray:
         return PPArray(self.parent, tuple(a.exp(e) for a in self.components))
 
     def exp_bits(self, e, nbits: int) -> "PPArray":
-        if isinstance(e, PPFArray) and len(e.components) == len(
-            self.components
-        ):
+        if self._ring_matches(e):
             return PPArray(
                 self.parent,
                 tuple(
@@ -941,9 +953,7 @@ class PPArray:
         )
 
     def exp_prod(self, e, nbits=None) -> "PPArray":
-        if isinstance(e, PPFArray) and len(e.components) == len(
-            self.components
-        ):
+        if self._ring_matches(e):
             return PPArray(
                 self.parent,
                 tuple(
@@ -1015,9 +1025,32 @@ class PPFArray:
     def project(self, i: int):
         return self.components[i]
 
-    add = _zip_op("add")
-    sub = _zip_op("sub")
-    mul = _zip_op("mul")
+    def _zip_or_map(self, other, name):
+        """Zip with a matching product-ring element, otherwise apply the
+        scalar/base-ring operand to every component (reference:
+        PPRingElement arithmetic semantics)."""
+        if isinstance(other, PPFArray) and other.parent == self.parent:
+            return PPFArray(
+                self.parent,
+                tuple(
+                    getattr(a, name)(b)
+                    for a, b in zip(self.components, other.components)
+                ),
+            )
+        return PPFArray(
+            self.parent,
+            tuple(getattr(a, name)(other) for a in self.components),
+        )
+
+    def add(self, other) -> "PPFArray":
+        return self._zip_or_map(other, "add")
+
+    def sub(self, other) -> "PPFArray":
+        return self._zip_or_map(other, "sub")
+
+    def mul(self, other) -> "PPFArray":
+        return self._zip_or_map(other, "mul")
+
     neg = _map_op("neg")
     sum = _map_op("sum")
     permute = _map_op("permute")

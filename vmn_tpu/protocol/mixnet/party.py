@@ -997,6 +997,11 @@ class MixSession:
         u = ciphertexts.project(0)
         v_comp = ciphertexts.project(1)
         field = ctx.pgroup.ring
+        # The sigma protocol runs over the KEY group (reference:
+        # DistrElGamalSessionBasic over keyPGroup): for keywidth > 1 the
+        # generator, commitments and replies are product-group objects.
+        key_group = ctx.key_group()
+        key_ring = key_group.ring
         inv_factor = _inverse_factor(field, k)
 
         correct = list(is_active)
@@ -1031,7 +1036,7 @@ class MixSession:
 
         # --- seed: node(node(g, ciphs), node(poly, node(factors...)))
         # (reference: DistrElGamalSession.java:430-456) -----------------
-        g_basic = ctx.pgroup.g
+        g_basic = key_group.g
         seed_data = node(
             node(g_basic.to_bytetree(), ciphertexts.to_bytetree()),
             node(poly_bt,
@@ -1046,7 +1051,7 @@ class MixSession:
         A = u.exp_prod(e, ctx.ebitlen)
 
         # --- commitments: yp = g^r, Bp = A^r ---------------------------
-        r = field.random((), party.rs, ctx.rbitlen)
+        r = key_ring.random((), party.rs, ctx.rbitlen)
         yp_own = g_basic.exp(r)
         Bp_own = A.exp(r)
         com_own = node(yp_own.to_bytetree(), Bp_own.to_bytetree())
@@ -1057,7 +1062,7 @@ class MixSession:
         Bps = [None] * (k + 1)
         for l in range(1, k + 1):
             if not is_active[l]:
-                yps[l] = ctx.pgroup.one()
+                yps[l] = key_group.one()
                 Bps[l] = _plain_group_of(ctx, self.width).one()
                 com_bt = node(yps[l].to_bytetree(), Bps[l].to_bytetree())
             elif l == self.j:
@@ -1068,11 +1073,11 @@ class MixSession:
                     b.wait_for(l, f"DecrCommitment{l}")
                 )
                 try:
-                    yps[l] = ctx.pgroup.elem_from_bytetree(com_bt[0])
+                    yps[l] = key_group.elem_from_bytetree(com_bt[0])
                     Bps[l] = _plain_group_of(ctx, self.width
                                              ).elem_from_bytetree(com_bt[1])
                 except (ByteTreeError, ValueError, IndexError):
-                    yps[l] = ctx.pgroup.one()
+                    yps[l] = key_group.one()
                     Bps[l] = _plain_group_of(ctx, self.width).one()
                     correct[l] = False
                     com_bt = node(yps[l].to_bytetree(), Bps[l].to_bytetree())
@@ -1096,15 +1101,15 @@ class MixSession:
         kxs = [None] * (k + 1)
         for l in range(1, k + 1):
             if not is_active[l]:
-                kxs[l] = field.from_int(0)
+                kxs[l] = key_ring.from_int(0)
             elif l == self.j:
                 kxs[l] = kx_own
             else:
                 bt = ByteTree.from_bytes(b.wait_for(l, f"DecrReply{l}"))
                 try:
-                    kxs[l] = field.from_bytetree(bt)
+                    kxs[l] = key_ring.from_bytetree(bt)
                 except (ByteTreeError, ValueError):
-                    kxs[l] = field.from_int(0)
+                    kxs[l] = key_ring.from_int(0)
                     correct[l] = False
             self._export(self._pf("DecrFactReply", l),
                          kxs[l].to_bytetree())
@@ -1250,14 +1255,15 @@ def _verify_combined(field, g, A, joint_y, combined_f, e, ebitlen,
     idxs, lags = _lagrange_ints(field, correct, k, threshold)
     cyp = None
     cBp = None
-    ckx = field.from_int(0)
+    ckx = None
     for i, lam in zip(idxs, lags):
         lam_f = field.from_int(lam)
         typ = yps[i].exp(lam_f)
         tBp = Bps[i].exp(lam_f)
         cyp = typ if cyp is None else cyp.mul(typ)
         cBp = tBp if cBp is None else cBp.mul(tBp)
-        ckx = ckx.add(kxs[i].mul(lam_f))
+        term = kxs[i].mul(lam_f)
+        ckx = term if ckx is None else ckx.add(term)
     combined_B = combined_f.exp_prod(e, ebitlen)
     ok1 = joint_y.inv().exp(v_f).mul(cyp).equals(g.exp(ckx))
     ok2 = combined_B.exp(v_f).mul(cBp).equals(A.exp(ckx))

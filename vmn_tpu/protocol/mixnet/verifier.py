@@ -427,7 +427,10 @@ class FiatShamirVerifier:
                 factors[l] = plain_grp.one((n,))
 
         u = ciphs.project(0)
-        g_basic = ctx.pgroup.g
+        # Sigma protocol over the KEY group (keywidth-aware; matches
+        # DistrElGamalSessionBasic over keyPGroup).
+        g_basic = key_group.g
+        key_ring = key_group.ring
         combined_f = _combine_factors(factors, correct, k, threshold, field)
 
         seed_data = node(
@@ -451,16 +454,16 @@ class FiatShamirVerifier:
                 self.proofs / f"DecrFactCommitment{l:02d}.bt"
             )
             try:
-                yps[l] = ctx.pgroup.elem_from_bytetree(com_bt[0])
+                yps[l] = key_group.elem_from_bytetree(com_bt[0])
                 Bps[l] = plain_grp.elem_from_bytetree(com_bt[1])
             except (ByteTreeError, ValueError, IndexError):
-                yps[l] = ctx.pgroup.one()
+                yps[l] = key_group.one()
                 Bps[l] = plain_grp.one()
             r_bt = self._read_bt(self.proofs / f"DecrFactReply{l:02d}.bt")
             try:
-                kxs[l] = field.from_bytetree(r_bt)
+                kxs[l] = key_ring.from_bytetree(r_bt)
             except (ByteTreeError, ValueError):
-                kxs[l] = field.from_int(0)
+                kxs[l] = key_ring.from_int(0)
 
         all_coms = node(*[
             node(yps[l].to_bytetree(), Bps[l].to_bytetree())
