@@ -180,10 +180,50 @@ def test_independent_generators_interactive():
     n = 5
 
     def party(j, board, rs):
-        src = CoinFlipPRingSource(board.scope("coins"), rs)
+        src = CoinFlipPRingSource(ctx, board.scope("coins"), rs)
         gens = independent_generators_i(ctx, src, n)
         assert gens.is_in_group()
         return gens.to_ints()
 
     results = _run(K, party)
     assert len({tuple(r) for r in results[1:]}) == 1
+
+
+def test_coinflip_vss_recovery_with_byzantine_party():
+    """A party that publishes garbage at coin opening cannot block the
+    flip: the coin is recovered from the remaining threshold shares
+    (reference: CoinFlipPRing.getCoin -> Pedersen.recover semantics)."""
+    from vmn_tpu.protocol.coinflip import CoinFlipPRingSource
+
+    ctx = _ctx()
+
+    class _EvilBoard:
+        """Wraps a board scope; corrupts THIS party's opened share."""
+
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self.inner, name)
+
+        def scope(self, name):
+            return _EvilBoard(self.inner.scope(name))
+
+        def publish(self, label, data):
+            if label == "Share" and "open" in getattr(
+                self.inner, "prefix", ""
+            ):
+                data = b"\x00garbage"
+            self.inner.publish(label, data)
+
+    def party(j, board, rs):
+        b = board.scope("coins")
+        if j == K:  # last party mis-opens its coin share
+            b = _EvilBoard(b)
+        src = CoinFlipPRingSource(ctx, b, rs)
+        return src.coin_bytes(16)
+
+    results = _run(K, party)
+    vals = {r for r in results[1:]}
+    assert len(vals) == 1  # all parties agree despite the cheater
+    assert len(vals.pop()) == 16

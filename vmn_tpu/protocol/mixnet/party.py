@@ -302,7 +302,10 @@ class MixSession:
             )
 
             self.ctx.challenger = ChallengerI(
-                CoinFlipPRingSource(self.board.scope("coins"), party.rs)
+                CoinFlipPRingSource(
+                    self.ctx, self.board.scope("coins"), party.rs,
+                    cipher=party.cipher,
+                )
             )
         self.nizkp = nizkp
         self.state = (
