@@ -126,8 +126,14 @@ def main(argv=None) -> int:
     def run_full(j):
         try:
             rs = SeededSource(f"demo-party-{j}".encode())
+            from vmn_tpu.protocol.log import Log
+
+            # Per-party log files (reference: per-party log windows,
+            # Demo.java:256; teed file-only to keep demo output clean).
             party = MixNetParty(
-                params, boards[j], rs, str(root / f"Party{j:02d}")
+                params, boards[j], rs, str(root / f"Party{j:02d}"),
+                log=Log.tee(root / f"Party{j:02d}" / "log",
+                            stdout=False),
             )
             parties[j] = party
             pk = party.keygen()

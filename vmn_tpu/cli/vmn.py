@@ -50,9 +50,13 @@ def _board(prot, priv, j):
 def _mk_party(prot, priv):
     from vmn_tpu.crypto.provable import resolve_random_source
     from vmn_tpu.crypto.randomsource import SeededSource
+    from vmn_tpu.protocol.log import Log
     from vmn_tpu.protocol.mixnet.party import MixNetParty
 
     j = _party_index(prot, priv)
+    # Hierarchical log teed to <dir>/log (reference: setupLogFile,
+    # MixNetElGamalTool.java:771-789).
+    log = Log.tee(Path(priv.dir) / "log") if priv.dir else Log.tee()
     if getattr(priv, "arrays", "ram") == "file":
         # Out-of-core arrays: spill large cached arrays to disk memmaps
         # (reference: file-mapped LargeIntegerArray toggled by the
@@ -65,7 +69,7 @@ def _mk_party(prot, priv):
     else:
         rs = resolve_random_source(priv.rand, directory=priv.dir)
     party = MixNetParty(
-        prot.to_params(), _board(prot, priv, j), rs, priv.dir
+        prot.to_params(), _board(prot, priv, j), rs, priv.dir, log=log
     )
     return party
 
@@ -139,7 +143,7 @@ def main(argv=None) -> int:
         pk = party.keygen()  # persists KeyAndPoly.bt / FullPublicKey.bt
         if len(args.files) >= 3:
             iface_out.write_public_key(pk, args.files[2])
-        _postlude(party, t0)
+        _postlude(party, t0, "key generation")
         return 0
 
     if args.setpk:
@@ -147,7 +151,7 @@ def main(argv=None) -> int:
             raise SystemExit("public key file required")
         pk = iface_in.read_public_key(party.ctx.key_group(), args.files[2])
         party.set_public_key(pk)  # persists ExternalPublicKey.bt
-        _postlude(party, t0)
+        _postlude(party, t0, "setting public key")
         return 0
 
     from vmn_tpu.protocol.mixnet.party import ProtocolError
@@ -164,7 +168,7 @@ def main(argv=None) -> int:
         if maxciph <= 0:
             raise SystemExit("-maxciph (or protInfo maxciph) required")
         session.precomp(maxciph)
-        _postlude(party, t0)
+        _postlude(party, t0, "pre-computation")
         return 0
 
     if len(args.files) < 4:
@@ -183,23 +187,23 @@ def main(argv=None) -> int:
             iface_out.write_plaintexts(out, args.files[3])
     except ProtocolError as e:
         raise SystemExit(f"vmn: {e}")
-    _postlude(party, t0)
+    op = "mixing" if args.mix else (
+        "shuffling" if args.shuffle else "decryption")
+    _postlude(party, t0, op)
     return 0
 
 
-def _postlude(party, t0):
-    """Timing/communication/proof-size report
+def _postlude(party, t0, operation="operation"):
+    """Full timing/communication/proof-size report with the
+    Execution/Network/Effective/Idle/Computation decomposition
     (reference: MixNetElGamalTool.postlude:130-207; proof size =
     recursive nizkp directory size, ProtocolElGamal.getNizkpBytes
     :591-602)."""
+    from vmn_tpu.protocol.log import postlude_report
+
     b = party.board
     total = time.time() - t0
-    waiting = getattr(b, "waiting_time", 0.0)
-    print(f"Execution time:  {total:10.3f} s")
-    print(f"Network waiting: {waiting:10.3f} s")
-    print(f"Computation:     {total - waiting:10.3f} s")
-    print(f"Sent bytes:      {getattr(b, 'sent_bytes', 0):10d}")
-    print(f"Received bytes:  {getattr(b, 'received_bytes', 0):10d}")
+    nizkp_bytes = 0
     if party.directory is not None:
         nizkp_bytes = sum(
             f.stat().st_size
@@ -207,8 +211,16 @@ def _postlude(party, t0):
             for f in d.rglob("*")
             if f.is_file()
         )
-        if nizkp_bytes:
-            print(f"Proof size:      {nizkp_bytes:10d} bytes")
+    postlude_report(
+        party.log,
+        operation,
+        total,
+        getattr(b, "network_time", 0.0),
+        getattr(b, "waiting_time", 0.0),
+        getattr(b, "sent_bytes", 0),
+        getattr(b, "received_bytes", 0),
+        nizkp_bytes,
+    )
 
 
 if __name__ == "__main__":

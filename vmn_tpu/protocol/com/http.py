@@ -69,6 +69,7 @@ class HTTPBulletinBoard(BulletinBoard):
         self.sent_bytes = 0
         self.received_bytes = 0
         self.waiting_time = 0.0
+        self.network_time = 0.0
         self._parent = None
 
         if prefix == "":
@@ -179,12 +180,16 @@ class HTTPBulletinBoard(BulletinBoard):
         url = f"{root._urls[l]}/{urllib.parse.quote(full, safe='')}"
         t0 = time.monotonic()
         deadline = t0 + self.TIMEOUT
+        net = 0.0  # transfer time vs idle waiting (postlude split)
         while True:
+            ta = time.monotonic()
             try:
                 with urllib.request.urlopen(url, timeout=10) as resp:
                     blob = resp.read()
+                net += time.monotonic() - ta
                 break
             except (OSError, urllib.error.URLError):
+                net += time.monotonic() - ta
                 if time.monotonic() > deadline:
                     raise BoardError(
                         f"timeout waiting for party {l} {full!r}"
@@ -196,7 +201,9 @@ class HTTPBulletinBoard(BulletinBoard):
         sig = bt[1].data
         if not root._pkeys[l].verify(_sign_payload(full, l, data), sig):
             raise BoardError(f"bad signature from party {l} on {full!r}")
-        self._account(0, len(data), time.monotonic() - t0)
+        self._account(
+            0, len(data), time.monotonic() - t0 - net, network=net
+        )
         return data
 
     def scope(self, sid: str) -> "HTTPBulletinBoard":
@@ -208,12 +215,14 @@ class HTTPBulletinBoard(BulletinBoard):
         child.sent_bytes = 0
         child.received_bytes = 0
         child.waiting_time = 0.0
+        child.network_time = 0.0
         child._parent = self
         return child
 
-    def _account(self, sent, received, waited):
+    def _account(self, sent, received, waited, network=0.0):
         self.sent_bytes += sent
         self.received_bytes += received
         self.waiting_time += waited
+        self.network_time = getattr(self, "network_time", 0.0) + network
         if self._parent is not None:
-            self._parent._account(sent, received, waited)
+            self._parent._account(sent, received, waited, network)

@@ -85,7 +85,11 @@ class MixNetParty:
         randomsource,
         directory: Optional[str] = None,
         cipher=None,
+        log=None,
     ):
+        from vmn_tpu.protocol.log import Log
+
+        self.log = log if log is not None else Log.silent()
         self.par = params
         self.ctx = ProtocolContext(params)
         self.board = board
@@ -112,6 +116,7 @@ class MixNetParty:
         ProtocolElGamal.setup:807-832 runs PlainKeys ->
         IndependentGenerator -> CoinFlipPRingSource -> challenger)."""
         if self.cipher is None and self.k > 1:
+            self.log.info("Exchange plain (CCA2) keys.")
             from vmn_tpu.protocol.distr.plainkeys import run_plainkeys
 
             self.plainkeys = run_plainkeys(self.ctx, self.board, self.rs)
@@ -125,8 +130,10 @@ class MixNetParty:
         (reference: MixNetElGamal.generatePublicKey:195-209; the
         KeyAndPoly disk cache DKG.java:147-175)."""
         if self.state is not None and self.load_keys(required=False):
+            self.log.info("Read cached key state.")
             return self.full_public_key()
         self.setup()
+        self.log.info("Generate public key (distributed key generation).")
         self.dkg = dkg_mod.run_dkg(self.ctx, self.board, self.rs, self.cipher)
         if self.state is not None:
             self.state.write_bytetree(
@@ -363,9 +370,11 @@ class MixSession:
         ShufflerElGamalSession.java:548-663,
         PermutationCommitment.java:156-218)."""
         if self.state is not None and self.state.has_marker(".precomp"):
+            self.party.log.info("Read cached pre-computation.")
             self._precomp = self._load_precomp()
             return
         party = self.party
+        party.log.info(f"Perform pre-computation for {maxciph} ciphertexts.")
         ctx = self.ctx
         b = self.board.scope("precomp")
 
@@ -630,6 +639,10 @@ class MixSession:
         """Online phase after precomputation: shrink + per-party CCPoS
         (reference: ShufflerElGamalSession.committedShuffle:972-1038)."""
         party = self.party
+        party.log.info(
+            f"Shuffle {ciphertexts.size} ciphertexts "
+            "(commitment-consistent chain)."
+        )
         ctx = self.ctx
         n = ciphertexts.size
         b = self.board.scope("ccshuffle")
@@ -666,6 +679,9 @@ class MixSession:
                     out = _own_output(inp)
                     out_bytes = out.to_bytetree().to_bytes()
                 b.publish(f"Ciphertext{l}", out_bytes)
+                party.log.child().info(
+                    "Re-encrypt, permute and prove (CCPoS)."
+                )
                 P = CCPoSProver(pos_par, party.rs)
                 P.set_instance(
                     g, st.generators, st.commitments[l], wide_pk_elem,
@@ -701,6 +717,9 @@ class MixSession:
                     and st.reenc_factors is not None
                 ):
                     optimistic = _OptimisticOutput(out, _own_output)
+                party.log.child().info(
+                    f"Verify shuffle of party {l} (CCPoS)."
+                )
                 ok = self._verify_ccpos(
                     b, l, pos_par, g, st, wide_pk_elem, inp, out
                 )
@@ -785,6 +804,7 @@ class MixSession:
                 self.state.write_marker(".shuffle")
             return out
         party = self.party
+        party.log.info(f"Shuffle {ciphertexts.size} ciphertexts.")
         ctx = self.ctx
         n = ciphertexts.size
         width = self.width
@@ -847,6 +867,9 @@ class MixSession:
                     out = _own_output(inp)
                     out_bytes = out.to_bytetree().to_bytes()
                 b.publish(f"Ciphertext{l}", out_bytes)
+                party.log.child().info(
+                    "Re-encrypt, permute and prove shuffle (PoS)."
+                )
                 self._prove_pos(
                     b, l, prover, wide_pk_elem, inp, out, reenc_exponents
                 )
@@ -863,6 +886,9 @@ class MixSession:
                     and permutation is not None
                 ):
                     optimistic = _OptimisticOutput(out, _own_output)
+                party.log.child().info(
+                    f"Verify shuffle of party {l} (PoS)."
+                )
                 ok = self._verify_pos(
                     b, l, pos_par, g, generators, wide_pk_elem, inp, out
                 )
@@ -978,6 +1004,9 @@ class MixSession:
                 "session already used for decryption (vmn -delete to reset)"
             )
 
+        party.log.info(
+            f"Perform distributed decryption of {n} ciphertexts."
+        )
         # Exchange only with ACTIVE parties; a deactivated server's
         # factors default to all-ones and are excluded from the combine
         # via the correct-indices machinery (reference:
