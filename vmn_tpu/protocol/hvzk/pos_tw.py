@@ -261,6 +261,11 @@ class PoSVerifier:
 
         C = self.u.prod().div(self.h.prod())
         D = self.B.get(n - 1).div(h0.exp(self.e.prod()))
+        # retained for test-vector output (reference: vmnv -t names
+        # PoS.C/PoS.D/PoS.k_*; ...FiatShamirSession.java:925-932)
+        self.C, self.D = C, D
+        self.k_A, self.k_B, self.k_C = k_A, k_B, k_C
+        self.k_D, self.k_E, self.k_F = k_D, k_E, k_F
 
         # A: A^v Ap == g^{k_A} prod h^{k_E}
         ok_a = self.A.exp_mul(v, self.Ap).equals(

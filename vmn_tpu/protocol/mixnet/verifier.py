@@ -134,11 +134,22 @@ class FiatShamirVerifier:
         self._sloppy = sloppy
 
         ctx = ProtocolContext(self.par, f"{self.par.sid}.{auxsid}")
+        # Full reference test-vector name set (reference:
+        # MixNetElGamalVerifyFiatShamirSession.java:162-1634,
+        # checkPrintTestVector call sites).  Values are hex byte trees /
+        # decimal ints in this implementation's canonical encodings.
         self._tv("par.sid", self.par.sid)
-        self._tv("der.rho", ctx.global_prefix.hex())
+        self._tv("par.version", version)
+        self._tv("par.k", self.par.k)
+        self._tv("par.lambda", self.par.threshold)
         self._tv("par.n_e", self.par.ebitlenro)
         self._tv("par.n_r", self.par.rbitlen)
         self._tv("par.n_v", self.par.vbitlenro)
+        self._tv("par.s_PRG", self.par.prg_string)
+        self._tv("par.s_Gq", self.par.pgroup_string)
+        self._tv("par.s_H", self.par.rohash_string)
+        self._tv("par.omega", width)
+        self._tv("der.rho", ctx.global_prefix.hex())
 
         # Full public key (g, y): basic key must equal the generator
         # (reference: readFullPKey:194-235).
@@ -148,6 +159,9 @@ class FiatShamirVerifier:
         if not fpk.g.equals(key_group.g):
             self._fail("basic public key is not the standard generator")
         self._tv("bas.pk", fpk_bt.to_bytes().hex())
+        self._tv("bas.C_omega", repr(ctx.ciph_group(width)))
+        self._tv("bas.M_omega", repr(ctx.plain_group(width)))
+        self._tv("bas.R_omega", repr(ctx.plain_group(width).ring))
 
         # Active threshold.
         at_file = self.proofs / "activethreshold"
@@ -246,8 +260,15 @@ class FiatShamirVerifier:
             self._tv("PoS.s", seed.hex())
             V.set_batch_vector(seed)
             V.compute_AF()
+            self._tv("PoS.A", V.A.to_bytetree().to_bytes().hex())
+            self._tv("PoS.F", V.F.to_bytetree().to_bytes().hex())
 
             commitment = V.set_commitment(self._read_bt(pc_file))
+            for name, val in (
+                ("PoS.B", V.B), ("PoS.Ap", V.Ap), ("PoS.Bp", V.Bp),
+                ("PoS.Cp", V.Cp), ("PoS.Dp", V.Dp), ("PoS.Fp", V.Fp),
+            ):
+                self._tv(name, val.to_bytetree().to_bytes().hex())
             v_bytes = ctx.challenger.challenge(
                 pos_challenge_data(seed, commitment),
                 ctx.vbitlen, ctx.rbitlen,
@@ -260,6 +281,14 @@ class FiatShamirVerifier:
                 reply_file.exists()
                 and V.verify(self._read_bt(reply_file), v)
             )
+            if verdict and self.tv_names:
+                for name, val in (
+                    ("PoS.C", V.C), ("PoS.D", V.D),
+                    ("PoS.k_A", V.k_A), ("PoS.k_B", V.k_B),
+                    ("PoS.k_C", V.k_C), ("PoS.k_D", V.k_D),
+                    ("PoS.k_E", V.k_E), ("PoS.k_F", V.k_F),
+                ):
+                    self._tv(name, val.to_bytetree().to_bytes().hex())
             if verdict:
                 valid += 1
             else:
@@ -278,6 +307,7 @@ class FiatShamirVerifier:
         import numpy as np
 
         maxciph = int(self._read(self.proofs / "maxciph").decode().strip())
+        self._tv("par.N_0", maxciph)
         if maxciph < n:
             self._fail("maxciph smaller than number of ciphertexts")
         generators = ctx.independent_generators("generators", maxciph)
@@ -310,6 +340,7 @@ class FiatShamirVerifier:
                     posc_seed_data(g, generators, perm_comm),
                     8 * ctx.prg.min_seed_bytes, ctx.rbitlen,
                 )
+                self._tv("PoSC.s", seed.hex())
                 V.set_batch_vector(seed)
                 commitment = V.set_commitment(
                     self._read_bt(self.proofs / f"PoSCCommitment{l:02d}.bt")
@@ -318,6 +349,7 @@ class FiatShamirVerifier:
                     posc_challenge_data(seed, commitment),
                     ctx.vbitlen, ctx.rbitlen,
                 )
+                self._tv("PoSC.v", int.from_bytes(v_bytes, "big"))
                 reply_file = self.proofs / f"PoSCReply{l:02d}.bt"
                 posc_ok = (
                     reply_file.exists()
@@ -357,6 +389,7 @@ class FiatShamirVerifier:
                                     wide_pk_elem, inp, out),
                     8 * ctx.prg.min_seed_bytes, ctx.rbitlen,
                 )
+                self._tv("CCPoS.s", seed.hex())
                 CV.set_batch_vector(seed)
                 CV.compute_AB()
                 commitment = CV.set_commitment(self._read_bt(cc_file))
@@ -364,6 +397,7 @@ class FiatShamirVerifier:
                     ccpos_challenge_data(seed, commitment),
                     ctx.vbitlen, ctx.rbitlen,
                 )
+                self._tv("CCPoS.v", int.from_bytes(v_bytes, "big"))
                 r_file = self.proofs / f"CCPoSReply{l:02d}.bt"
                 cc_ok = (
                     r_file.exists()
@@ -406,6 +440,14 @@ class FiatShamirVerifier:
         y_parties = [None] + [
             evaluate_poly_in_exp(poly, l) for l in range(1, k + 1)
         ]
+        if self.tv_names:
+            self._tv(
+                "bas.y_l",
+                ",".join(
+                    y_parties[l].to_bytetree().to_bytes().hex()
+                    for l in range(1, k + 1)
+                ),
+            )
 
         # Correct indices.
         cr_bt = self._read_bt(self.proofs / "CorrectIndices.bt")
