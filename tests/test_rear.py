@@ -95,3 +95,104 @@ def test_vog_roundtrips(capsys):
     assert vog.main(["-list"]) == 0
     names = capsys.readouterr().out.split()
     assert "ModPGroup" in names and "ECqPGroup" in names
+
+
+def test_format_language_select_and_product(tmp_path):
+    """The (i,j) position mini-language (reference: RearParser,
+    ProtocolElGamalRearTool.java:608-694): select components across
+    sources, concatenate with 'x', multiple outputs with ':'."""
+    a = tmp_path / "a.bt"
+    b = tmp_path / "b.bt"
+    _ciphs(4, 3).write_file(a)
+    _ciphs(4, 2).write_file(b)
+
+    out1 = tmp_path / "o1.bt"
+    out2 = tmp_path / "o2.bt"
+    assert vre.main([
+        "-ciphs", "-format", "(0,1)x(1,0):(0,0-2)",
+        str(a), str(b), str(out1), str(out2),
+    ]) == 0
+
+    from vmn_tpu.protocol.rear import apply_format, components_of
+
+    t1 = ByteTree.read_file(out1)
+    comps = components_of(t1, True)
+    assert len(comps) == 2  # (0,1) and (1,0)
+    want_a = components_of(_ciphs(4, 3), True)
+    want_b = components_of(_ciphs(4, 2), True)
+    assert comps[0].to_bytes() == want_a[1].to_bytes()
+    assert comps[1].to_bytes() == want_b[0].to_bytes()
+
+    t2 = ByteTree.read_file(out2)
+    comps2 = components_of(t2, True)
+    assert [c.to_bytes() for c in comps2] == [
+        want_a[0].to_bytes(), want_a[1].to_bytes()
+    ]
+
+
+def test_interval_language(tmp_path):
+    src = tmp_path / "in.bt"
+    _ciphs(6, 1).write_file(src)
+    o1 = tmp_path / "i1.bt"
+    o2 = tmp_path / "i2.bt"
+    assert vre.main([
+        "-ciphs", "-inter", "0-2:2-6", str(src), str(o1), str(o2)
+    ]) == 0
+    cat = tmp_path / "cat.bt"
+    assert vre.main(["-ciphs", "-cat", str(o1), str(o2), str(cat)]) == 0
+    assert ByteTree.read_file(cat).to_bytes() == _ciphs(6, 1).to_bytes()
+
+
+class DummyPluginInterface:
+    """Plug-in interface fixture for reflective loading."""
+
+    def write_ciphertexts(self, ciphs, path):
+        raise NotImplementedError
+
+    def read_ciphertexts(self, group, path):
+        raise NotImplementedError
+
+
+def test_plugin_interface_loading():
+    """Unknown interface names load user classes by dotted path
+    (reference: ProtocolElGamalInterfaceFactory.java:90-110)."""
+    import pytest
+
+    from vmn_tpu.protocol.interfaces import InterfaceError, get_interface
+
+    obj = get_interface("tests.test_rear.DummyPluginInterface")
+    # importlib may load the module under a distinct name from pytest's
+    # own import; compare by class identity attributes.
+    assert type(obj).__name__ == "DummyPluginInterface"
+    assert hasattr(obj, "read_ciphertexts")
+    with pytest.raises(InterfaceError):
+        get_interface("no.such.module.Klass")
+    with pytest.raises(InterfaceError):
+        get_interface("bogusname")
+
+
+def test_primality_and_fresh_group():
+    """Miller-Rabin + safe-prime generation (gmpmee equivalence,
+    SURVEY §2.3) and vog -bitlen fresh-group output."""
+    from vmn_tpu.crypto.primes import (
+        is_safe_prime,
+        miller_rabin,
+        random_group,
+        random_safe_prime,
+    )
+    from vmn_tpu.crypto.randomsource import SeededSource
+
+    rs = SeededSource(b"primes")
+    assert miller_rabin(2**127 - 1, rs)  # Mersenne prime
+    assert not miller_rabin(2**128 - 1, rs)
+    assert not miller_rabin(3825123056546413051, rs)  # strong pseudoprime
+    assert is_safe_prime(23, rs)
+    assert not is_safe_prime(29, rs)
+
+    p = random_safe_prime(96, rs)
+    assert p.bit_length() == 96
+    assert is_safe_prime(p, rs)
+
+    grp = random_group(96, rs)
+    assert grp.p.bit_length() == 96
+    assert pow(grp.g_int, grp.q, grp.p) == 1

@@ -44,6 +44,10 @@ def main(argv=None) -> int:
                    help="underlying hash algorithm")
     p.add_argument("-width", type=int, default=None,
                    help="width parameter for provable primitives")
+    p.add_argument("-bitlen", type=int, default=None,
+                   help="generate a FRESH safe-prime ModPGroup of this "
+                        "bit length (Miller-Rabin; reference: vog "
+                        "ModPGroup generation via gmpmee primality)")
     p.add_argument("args", nargs="*", help="positional template args")
     args = p.parse_args(argv)
 
@@ -62,8 +66,15 @@ def main(argv=None) -> int:
 
     gen = args.gen
     if gen == "ModPGroup":
-        obj = _modp(args.name)
-        comment = f"ModPGroup({args.name})"
+        if args.bitlen:
+            from vmn_tpu.crypto.primes import random_group
+            from vmn_tpu.crypto.randomsource import RandomDevice
+
+            obj = random_group(args.bitlen, RandomDevice())
+            comment = f"ModPGroup(fresh {args.bitlen}-bit safe prime)"
+        else:
+            obj = _modp(args.name)
+            comment = f"ModPGroup({args.name})"
     elif gen == "ECqPGroup":
         from vmn_tpu.arith.ec import ECqPGroup
 

@@ -61,6 +61,14 @@ def main(argv=None) -> int:
     op.add_argument("-deep", action="store_true",
                     help="inverse of -shallow: join width-1 parts "
                     "into one wide object")
+    op.add_argument("-format", dest="fmt", metavar="FMT",
+                    help="(i,j) position mini-language, e.g. "
+                    "'(0,1)x(3,2):(0,0-2)' — sources x components, "
+                    "':' separates outputs (reference: RearParser, "
+                    "ProtocolElGamalRearTool.java:608-694)")
+    op.add_argument("-inter", metavar="INTERVALS",
+                    help="colon-separated 's-e' batch intervals, one "
+                    "per output file")
     p.add_argument("-noin", action="store_true",
                    help="outputs only; infer structure without an "
                    "input template")
@@ -95,6 +103,42 @@ def main(argv=None) -> int:
             ).write_file(out)
         else:
             node(*trees).write_file(out)
+        print("ok")
+        return 0
+
+    if args.fmt:
+        from vmn_tpu.protocol.rear import RearFormatError, apply_format
+
+        n_out = len(args.fmt.split(":"))
+        ins = args.files[: len(args.files) - n_out]
+        outs = args.files[len(args.files) - n_out:]
+        if not ins:
+            raise SystemExit("need at least one input file")
+        try:
+            results = apply_format(
+                args.fmt,
+                [ByteTree.read_file(f) for f in ins],
+                args.ciphs,
+            )
+        except RearFormatError as e:
+            raise SystemExit(f"vre: {e}")
+        for bt, out in zip(results, outs):
+            bt.write_file(out)
+        print("ok")
+        return 0
+    if args.inter:
+        from vmn_tpu.protocol.rear import RearFormatError, parse_intervals
+
+        try:
+            intervals = parse_intervals(args.inter)
+        except RearFormatError as e:
+            raise SystemExit(f"vre: {e}")
+        infile, *outs = args.files
+        if len(outs) != len(intervals):
+            raise SystemExit("need one output per interval")
+        bt = ByteTree.read_file(infile)
+        for (a, b), out in zip(intervals, outs):
+            _sub(bt, a, b).write_file(out)
         print("ok")
         return 0
 

@@ -117,33 +117,3 @@ def run_dkg(
     return DKGResult(group, seq.share, seq.poly_in_exp, board.k)
 
 
-def _eval_poly(coeffs: FArray, i: int) -> FArray:
-    """P(i) = sum_m coeffs_m i^m in the exponent ring."""
-    ring = coeffs.field if isinstance(coeffs, FArray) else coeffs.parent
-    t = coeffs.limbs.shape[0] if isinstance(coeffs, FArray) else coeffs.size
-    acc = None
-    power = 1
-    for m in range(t):
-        term = coeffs.get(m).mul(_ring_const(coeffs, power))
-        acc = term if acc is None else acc.add(term)
-        power = power * i
-    return acc
-
-
-def _ring_const(like, value: int):
-    if isinstance(like, FArray):
-        return like.field.from_int(value)
-    from vmn_tpu.arith.pgroup import PPFArray
-
-    return PPFArray(
-        like.parent,
-        tuple(_ring_const(c, value) for c in like.components),
-    )
-
-
-def _g_exp(group, exps):
-    """g^{e} for the group's standard generator."""
-    return group.g.exp(exps)
-
-
-_g_exp_scalar = _g_exp

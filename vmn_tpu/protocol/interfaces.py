@@ -269,9 +269,30 @@ _REGISTRY = {
 
 
 def get_interface(name: str):
-    """Look up an interface by name (reference: factory registry;
-    unknown names raise rather than reflective class loading)."""
+    """Look up an interface by name.
+
+    Unknown names are loaded as user plug-in classes — a dotted path
+    `package.module.ClassName` is imported and instantiated, matching
+    the reference's reflective loading of custom interface classes
+    (reference: ProtocolElGamalInterfaceFactory.java:90-110)."""
     cls = _REGISTRY.get(name)
-    if cls is None:
-        raise InterfaceError(f"unknown interface: {name}")
-    return cls()
+    if cls is not None:
+        return cls()
+    if "." in name:
+        import importlib
+
+        mod_name, _, cls_name = name.rpartition(".")
+        try:
+            mod = importlib.import_module(mod_name)
+            plugin = getattr(mod, cls_name)
+        except (ImportError, AttributeError) as e:
+            raise InterfaceError(
+                f"cannot load plug-in interface {name!r}: {e}"
+            )
+        for meth in ("write_ciphertexts", "read_ciphertexts"):
+            if not hasattr(plugin, meth):
+                raise InterfaceError(
+                    f"plug-in {name!r} lacks required method {meth!r}"
+                )
+        return plugin()
+    raise InterfaceError(f"unknown interface: {name}")
