@@ -58,7 +58,8 @@ def test_http_board(tmp_path):
         for j in range(1, k + 1)
     ])
     privs = [None] + [
-        PrivateInfo(name=f"P{j}", skey=keys[j].to_hex())
+        PrivateInfo(name=f"P{j}", skey=keys[j].to_hex(),
+                    dir=str(tmp_path / f"p{j}"))
         for j in range(1, k + 1)
     ]
     boards = [None] + [
@@ -102,3 +103,40 @@ def test_http_board(tmp_path):
     finally:
         for j in range(1, k + 1):
             boards[j].shutdown()
+
+
+def test_board_persists_across_restart(tmp_path):
+    """The disk-backed store re-serves previously published messages
+    after a restart (board side of crash recovery), and idempotent
+    re-publish of identical content is a no-op while changed content
+    is refused."""
+    rs = SeededSource(b"persist-test")
+    kp = SignatureKeyPair.generate(rs, "test256")
+
+    def mk_prot(ports):
+        return ProtocolInfo(nopart=1, parties=[
+            PartyInfo(name="P1", pkey=kp.public.to_hex(),
+                      http=f"http://127.0.0.1:{ports[0]}",
+                      hint=f"127.0.0.1:{ports[1]}")
+        ])
+
+    prot = mk_prot(_free_ports(2))
+    priv = PrivateInfo(name="P1", skey=kp.to_hex(),
+                       dir=str(tmp_path / "p1"))
+
+    b1 = HTTPBulletinBoard(prot, priv, 1)
+    try:
+        b1.publish("Durable", b"payload-1")
+        b1.publish("Durable", b"payload-1")  # idempotent no-op
+        with pytest.raises(BoardError):
+            b1.publish("Durable", b"payload-CHANGED")
+    finally:
+        b1.shutdown()
+
+    # Fresh process equivalent: new board over the same directory
+    # (fresh ports: the OS may hold the old listener in TIME_WAIT).
+    b2 = HTTPBulletinBoard(mk_prot(_free_ports(2)), priv, 1)
+    try:
+        assert b2.wait_for(1, "Durable") == b"payload-1"
+    finally:
+        b2.shutdown()

@@ -178,3 +178,66 @@ def test_ccpos_roundtrip_and_tamper(setup):
     reply = P.reply(V_INT)
     assert V.verify(reply, V_INT)
     assert not V.verify(reply, V_INT - 1)
+
+
+def test_posc_multi_round():
+    """PoSCMulti: one batched round proving own + verifying all other
+    parties' permutation commitments (reference: hvzk/PoSCMulti.java:40)."""
+    import threading
+
+    from vmn_tpu.arith.pgroup import ModPGroup, Permutation
+    from vmn_tpu.crypto.randomsource import SeededSource
+    from vmn_tpu.protocol.com.board import LocalBoardHub
+    from vmn_tpu.protocol.context import ProtocolContext, ProtocolParams
+    from vmn_tpu.protocol.hvzk.pos_tw import PoSParams
+    from vmn_tpu.protocol.hvzk.posc_multi import PoSCMulti
+
+    k, n = 3, 6
+    group = ModPGroup.named("test256")
+    params = ProtocolParams(sid="Multi", k=k, threshold=k, pgroup=group)
+    hub = LocalBoardHub(k)
+    results = [None] * (k + 1)
+    errors = []
+
+    # Every party publishes its commitment first (as precomp does),
+    # then one PoSCMulti round proves/verifies all of them.
+    def run(j):
+        try:
+            ctx = ProtocolContext(params)
+            rs = SeededSource(f"mp{j}".encode())
+            board = hub.board(j).scope("poscmulti")
+            gens = ctx.independent_generators("gens", n)
+            g = ctx.pgroup.g
+            field = ctx.pgroup.ring
+            r = field.random((n,), rs, ctx.rbitlen)
+            pi = Permutation.random(n, rs)
+            u = gens.mul(g.exp(r)).permute(pi)
+            board.publish(f"U{j}", u.to_bytetree().to_bytes())
+            us = {}
+            for l in range(1, k + 1):
+                raw = (
+                    u.to_bytetree().to_bytes() if l == j
+                    else board.wait_for(l, f"U{l}")
+                )
+                from vmn_tpu.eio.bytetree import ByteTree
+
+                us[l] = ctx.pgroup.elem_from_bytetree(
+                    ByteTree.from_bytes(raw), n
+                )
+            par = PoSParams(ctx.vbitlen, ctx.ebitlen, ctx.rbitlen, ctx.prg)
+            multi = PoSCMulti(ctx, board, rs, par)
+            results[j] = multi.execute(g, gens, us, r, pi)
+        except Exception:  # noqa: BLE001
+            import traceback
+
+            errors.append(traceback.format_exc())
+
+    ths = [threading.Thread(target=run, args=(j,), daemon=True)
+           for j in range(1, k + 1)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join(timeout=300)
+    assert not errors, errors[0]
+    for j in range(1, k + 1):
+        assert all(results[j].values()), results[j]

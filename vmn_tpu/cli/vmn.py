@@ -47,7 +47,7 @@ def _board(prot, priv, j):
     return HTTPBulletinBoard(prot, priv, j)
 
 
-def _mk_party(prot, priv):
+def _mk_party(prot, priv, silent=False):
     from vmn_tpu.crypto.provable import resolve_random_source
     from vmn_tpu.crypto.randomsource import SeededSource
     from vmn_tpu.protocol.log import Log
@@ -55,8 +55,12 @@ def _mk_party(prot, priv):
 
     j = _party_index(prot, priv)
     # Hierarchical log teed to <dir>/log (reference: setupLogFile,
-    # MixNetElGamalTool.java:771-789).
-    log = Log.tee(Path(priv.dir) / "log") if priv.dir else Log.tee()
+    # MixNetElGamalTool.java:771-789); -s silences stdout.
+    log = (
+        Log.tee(Path(priv.dir) / "log", stdout=not silent)
+        if priv.dir
+        else Log.tee(stdout=not silent)
+    )
     if getattr(priv, "arrays", "ram") == "file":
         # Out-of-core arrays: spill large cached arrays to disk memmaps
         # (reference: file-mapped LargeIntegerArray toggled by the
@@ -88,7 +92,32 @@ def main(argv=None) -> int:
     p.add_argument("-maxciph", type=int, default=0)
     p.add_argument("-ini", default="raw", help="input interface")
     p.add_argument("-outi", default="raw", help="output interface")
+    # Reference usage-form flags (MixNetElGamalTool.java:339-391).
+    p.add_argument("-s", dest="silent", action="store_true",
+                   help="silent mode: no stdout output")
+    p.add_argument("-e", dest="etrace", action="store_true",
+                   help="print exception trace upon error")
+    p.add_argument("-cerr", action="store_true",
+                   help="print errors as clean strings")
+    p.add_argument("-f", dest="force", action="store_true",
+                   help="assume affirmative answers to interactive "
+                        "confirmations (e.g. -delete)")
     args = p.parse_args(argv)
+    try:
+        return _run(p, args)
+    except SystemExit as e:
+        if args.etrace:
+            import traceback
+
+            traceback.print_exc()
+        if args.cerr and e.code not in (0, None):
+            # clean error string on stderr, exit code 1
+            print(str(e.code).replace("vmn: ", ""), file=sys.stderr)
+            raise SystemExit(1)
+        raise
+
+
+def _run(p, args) -> int:
 
     if len(args.files) < 2:
         raise SystemExit("privInfo and protInfo files required")
@@ -102,7 +131,7 @@ def main(argv=None) -> int:
     iface_out = get_interface(args.outi)
 
     t0 = time.time()
-    party = _mk_party(prot, priv)
+    party = _mk_party(prot, priv, silent=args.silent)
 
     if args.lact:
         print(",".join(
@@ -128,8 +157,18 @@ def main(argv=None) -> int:
         # Delete SESSION state (nizkp + cached precomp), keep keys —
         # reference: MixNetElGamalSession.deleteState:136-150 with the
         # documented warning that precomputed data is never reused
-        # (MixNetElGamalTool.java:487-496).
+        # (MixNetElGamalTool.java:487-496).  Asks for confirmation
+        # unless -f (reference: MixNetElGamalTool.java:843).
         import shutil
+
+        if not args.force and sys.stdin.isatty():
+            ans = input(
+                f"Delete session state for auxsid {args.auxsid!r}? "
+                "Precomputed data must NEVER be reused. [y/N] "
+            )
+            if ans.strip().lower() not in ("y", "yes"):
+                print("aborted")
+                return 0
 
         sub = Path(priv.dir) / f"nizkp.{args.auxsid}"
         if sub.exists():
@@ -173,7 +212,12 @@ def main(argv=None) -> int:
 
     if len(args.files) < 4:
         raise SystemExit("input and output files required")
-    ciphs = iface_in.read_ciphertexts(ciph_group, args.files[2])
+    try:
+        ciphs = iface_in.read_ciphertexts(ciph_group, args.files[2])
+    except FileNotFoundError as e:
+        raise SystemExit(f"vmn: cannot read ciphertexts: {e}")
+    except Exception as e:  # malformed input file
+        raise SystemExit(f"vmn: malformed ciphertexts: {e}")
 
     try:
         if args.mix:

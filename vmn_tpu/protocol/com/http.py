@@ -38,21 +38,63 @@ def _sign_payload(label: str, sender: int, payload: bytes) -> bytes:
 
 
 class _Store:
-    """Published messages of the local party, served over HTTP."""
+    """Published messages of the local party, served over HTTP.
 
-    def __init__(self):
+    Disk-backed when a spool directory is given: every published blob
+    is written to disk (and re-served from there after a restart, so
+    peers can re-fetch everything a crashed party already published —
+    the board side of crash recovery), and only blobs up to
+    `CACHE_LIMIT` bytes stay in the in-memory cache, bounding RAM for
+    large-N transcripts."""
+
+    CACHE_LIMIT = 1 << 20  # keep blobs <= 1 MB in RAM
+
+    def __init__(self, directory=None):
         self._data: Dict[str, bytes] = {}
         self._lock = threading.Lock()
+        self._dir = None
+        if directory is not None:
+            from pathlib import Path
+
+            self._dir = Path(directory)
+            self._dir.mkdir(parents=True, exist_ok=True)
+
+    def _path(self, label: str):
+        import hashlib
+
+        return self._dir / hashlib.sha256(label.encode()).hexdigest()
 
     def put(self, label: str, blob: bytes):
         with self._lock:
-            if label in self._data:
+            prev = self._data.get(label)
+            if prev is None and self._dir is not None:
+                p = self._path(label)
+                if p.exists():
+                    prev = p.read_bytes()
+            if prev is not None:
+                # Idempotent re-publish after restart is a no-op; a
+                # CHANGED message under the same label breaks the
+                # append-only discipline and is refused.
+                if prev == blob:
+                    return
                 raise BoardError(f"duplicate publish {label!r}")
-            self._data[label] = blob
+            if self._dir is not None:
+                tmp = self._path(label).with_suffix(".tmp")
+                tmp.write_bytes(blob)
+                tmp.replace(self._path(label))
+                if len(blob) <= self.CACHE_LIMIT:
+                    self._data[label] = blob
+            else:
+                self._data[label] = blob
 
     def get(self, label: str) -> Optional[bytes]:
         with self._lock:
-            return self._data.get(label)
+            blob = self._data.get(label)
+            if blob is None and self._dir is not None:
+                p = self._path(label)
+                if p.exists():
+                    blob = p.read_bytes()
+            return blob
 
 
 class HTTPBulletinBoard(BulletinBoard):
@@ -72,8 +114,20 @@ class HTTPBulletinBoard(BulletinBoard):
         self.network_time = 0.0
         self._parent = None
 
+        # Configurable patience (reference: the board timeouts are
+        # operator-tunable; env override keeps info files stable).
+        import os
+
+        self.TIMEOUT = float(
+            os.environ.get("VMN_BOARD_TIMEOUT", self.TIMEOUT)
+        )
         if prefix == "":
-            self._store = _Store()
+            spool = None
+            if getattr(priv, "dir", None):
+                from pathlib import Path
+
+                spool = Path(priv.dir) / "board"
+            self._store = _Store(spool)
             self._skey = SignatureKeyPair.from_hex(priv.skey)
             self._pkeys = {
                 i + 1: SignaturePKey.from_hex(p.pkey)
@@ -144,6 +198,7 @@ class HTTPBulletinBoard(BulletinBoard):
     def shutdown(self):
         if self.prefix == "":
             self._server.shutdown()
+            self._server.server_close()  # release the listening port
             if hasattr(self, "_hint_sock"):
                 self._hint_sock.close()
 
@@ -158,6 +213,13 @@ class HTTPBulletinBoard(BulletinBoard):
     def publish(self, label: str, data: bytes) -> None:
         root = self._root()
         full = f"{self.prefix}{label}"
+        prev = root._store.get(full)
+        if prev is not None:
+            # Idempotent re-publish after a restart (same payload under
+            # a fresh randomized signature) is a no-op; changed content
+            # breaks append-only and is refused in the store.
+            if ByteTree.from_bytes(prev)[0].data == data:
+                return
         sig = root._skey.sign(
             _sign_payload(full, self.j, data), root._rs
         )
