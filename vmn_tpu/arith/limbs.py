@@ -85,8 +85,13 @@ def limbs_to_ints(arr) -> List[int]:
 
 
 def limbs_to_bytes_be(arr, nbytes: int) -> np.ndarray:
-    """(..., L) limbs -> (..., nbytes) uint8 big-endian unsigned."""
-    arr = np.asarray(arr, dtype=np.uint32)
+    """(..., L) limbs -> (..., nbytes) uint8 big-endian unsigned.
+
+    Accepts uint16 or uint32 limb arrays (values are 16-bit either
+    way; the device<->host paths move uint16 to halve transfer)."""
+    arr = np.asarray(arr)
+    if arr.dtype not in (np.uint16, np.uint32):
+        arr = arr.astype(np.uint32)
     L = arr.shape[-1]
     # MSB-first limb order, each limb as 2 big-endian bytes.
     be = np.ascontiguousarray(arr[..., ::-1]).astype(">u2")

@@ -449,6 +449,35 @@ def _fixed_base_exp(table, e, m, mprime, one_mont, ndig: int, fb_window: int):
     return jax.lax.fori_loop(0, ndig, body, acc)
 
 
+# ------------------------------------------------- host<->device limbs
+# Limb values are 16-bit; moving them as uint16 HALVES host<->device
+# transfer volume (significant when the device link is a tunnel or
+# PCIe and N is large), widening/narrowing on-device.
+
+
+@jax.jit
+def _widen_u16(a):
+    return a.astype(jnp.uint32)
+
+
+@jax.jit
+def _narrow_u16(a):
+    return a.astype(jnp.uint16)
+
+
+def device_limbs(arr) -> jnp.ndarray:
+    """Host limb array (any uint dtype) -> device uint32 limbs."""
+    arr = np.asarray(arr)
+    if arr.dtype != np.uint16:
+        arr = arr.astype(np.uint16)
+    return _widen_u16(jnp.asarray(arr))
+
+
+def host_limbs(x) -> np.ndarray:
+    """Device uint32 limbs -> host uint16 array (half the transfer)."""
+    return np.asarray(_narrow_u16(x))
+
+
 # ------------------------------------------------------- pallas dispatch
 
 _PALLAS_ENABLED: Optional[bool] = None
@@ -530,7 +559,7 @@ class MontCtx:
         """Montgomery-form limbs -> Python ints."""
         from vmn_tpu.arith.limbs import limbs_to_ints
 
-        return limbs_to_ints(np.asarray(self.from_mont(a)))
+        return limbs_to_ints(host_limbs(self.from_mont(a)))
 
     def decode_std(self, a) -> list:
         from vmn_tpu.arith.limbs import limbs_to_ints

@@ -47,7 +47,7 @@ from vmn_tpu.arith.limbs import (
     limbs_to_ints,
     num_limbs,
 )
-from vmn_tpu.arith.mont import MontCtx
+from vmn_tpu.arith.mont import MontCtx, device_limbs, host_limbs
 from vmn_tpu.eio.bytetree import ByteTree, ByteTreeError, int_leaf, leaf, node
 
 
@@ -185,7 +185,7 @@ class PField:
             raw = raw.copy()
             raw[:, 0] &= 0xFF >> extra
         Lw = max(self.L, num_limbs(bits))
-        return jnp.asarray(bytes_be_to_limbs(raw, Lw))
+        return device_limbs(bytes_be_to_limbs(raw, Lw))
 
     def random_bits(self, n: int, bits: int, randomsource) -> "FArray":
         """n uniform `bits`-bit integers as field elements, reduced mod q
@@ -215,13 +215,13 @@ class PField:
                 bytes_be_to_limbs(raw, max(self.L, num_limbs(ebitlen)))
             )
             return FArray(self, self.ctx.reduce_std(wide))
-        return FArray(self, jnp.asarray(bytes_be_to_limbs(raw, self.L)))
+        return FArray(self, device_limbs(bytes_be_to_limbs(raw, self.L)))
 
     # --------------------------------------------------------- serialize
 
     def to_bytetree(self, fa: "FArray") -> ByteTree:
         """Array -> node of fixed-size leaves; scalar -> single leaf."""
-        arr = np.asarray(fa.limbs)
+        arr = host_limbs(fa.limbs)
         if arr.ndim == 1:
             return leaf(
                 limbs_to_bytes_be(arr[None], self.bytelen)[0].tobytes()
@@ -251,7 +251,7 @@ class PField:
             lt = diff[rows, first_nz] < 0
             if not lt.all():
                 raise ByteTreeError("field element out of range")
-            return FArray(self, jnp.asarray(bytes_be_to_limbs(raw, self.L)))
+            return FArray(self, device_limbs(bytes_be_to_limbs(raw, self.L)))
         xs = [c.to_int_unsigned() for c in bt.children]
         if any(x >= self.q for x in xs):
             raise ByteTreeError("field element out of range")
@@ -479,7 +479,7 @@ class ModPGroup:
             raw[:, 0] &= 0xFF >> extra
         # Vectorized: limbs -> batched reduction mod p -> Montgomery form.
         Lw = max(self.L, num_limbs(bits))
-        wide = jnp.asarray(bytes_be_to_limbs(raw, Lw))
+        wide = device_limbs(bytes_be_to_limbs(raw, Lw))
         base = self.ctx.to_mont(self.ctx.reduce_std(wide))
         # raise to co-order to land in the subgroup
         e = jnp.asarray(int_to_limbs(self.coorder, num_limbs(64)))
@@ -493,7 +493,7 @@ class ModPGroup:
     def elem_to_bytetree(self, ga: "GArray") -> ByteTree:
         from vmn_tpu.eio.bytetree import array_leaf_node
 
-        arr = np.asarray(self.ctx.from_mont(ga.limbs))
+        arr = host_limbs(self.ctx.from_mont(ga.limbs))
         if arr.ndim == 1:
             return leaf(limbs_to_bytes_be(arr[None], self.bytelen)[0].tobytes())
         b = limbs_to_bytes_be(arr.reshape(-1, self.L), self.bytelen)
@@ -633,7 +633,7 @@ class GArray:
         )
 
     def to_ints(self) -> List[int]:
-        arr = np.asarray(self.grp.ctx.from_mont(self.limbs))
+        arr = host_limbs(self.grp.ctx.from_mont(self.limbs))
         if arr.ndim == 1:
             return [limbs_to_int(arr)]
         return limbs_to_ints(arr)

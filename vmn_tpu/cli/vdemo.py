@@ -38,7 +38,11 @@ def _free_ports(n: int):
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="vdemo", description=__doc__)
-    p.add_argument("demoroot")
+    p.add_argument("demoroot", nargs="?", default=None)
+    p.add_argument("-protocol", default=None, metavar="NAME",
+                   help="run a per-protocol demo (reference: the 12 "
+                        "DEMO_CLASSNAMES tier, Makefile.am:83-95); "
+                        "NAME='all' runs the dependency-ordered suite")
     p.add_argument("-k", type=int, default=3)
     p.add_argument("-t", type=int, default=2)
     p.add_argument("-n", type=int, default=10)
@@ -51,6 +55,14 @@ def main(argv=None) -> int:
     p.add_argument("-local", action="store_true",
                    help="in-memory board instead of localhost HTTP")
     args = p.parse_args(argv)
+
+    if args.protocol:
+        from vmn_tpu.cli.demos import run_demo
+
+        run_demo(args.protocol, args.k, args.t)
+        return 0
+    if args.demoroot is None:
+        p.error("demoroot required (or use -protocol NAME)")
 
     from vmn_tpu.arith.pgroup import ModPGroup
     from vmn_tpu.crypto.randomsource import SeededSource
