@@ -164,3 +164,27 @@ def test_ec_k3_mix_and_verify(tmp_path):
     _, _, nizkp = _run_mix(tmp_path, params, width=1)
     res = FiatShamirVerifier(params, nizkp).verify(expected_type="mixing")
     assert res.ok
+
+
+def test_arrays_file_mix_and_verify(tmp_path):
+    """arrays=file: resident arrays and intermediate ciphertext lists
+    spill to disk memmaps (reference: `ram`/file configs of the check
+    matrix; ProtocolElGamal.java:332-345)."""
+    from vmn_tpu.arith import storage
+
+    storage.set_backend("file", tmp_path / "arrays")
+    storage.MIN_SPILL_BYTES, saved = 0, storage.MIN_SPILL_BYTES
+    try:
+        params = ProtocolParams(
+            sid="AF", k=1, threshold=1,
+            pgroup=ModPGroup.named("test256"),
+        )
+        _, _, nizkp = _run_mix(tmp_path, params, width=1)
+        res = FiatShamirVerifier(params, nizkp).verify(
+            expected_type="mixing"
+        )
+        assert res.ok
+        assert any((tmp_path / "arrays").glob("spill*.npy"))
+    finally:
+        storage.MIN_SPILL_BYTES = saved
+        storage.set_backend("ram")

@@ -29,6 +29,7 @@ class PartyInfo:
 
     name: str
     srtbyrole: str = "anyrole"
+    descr: str = ""
     pkey: str = ""  # signature public key (marshalled hex)
     http: str = ""  # bulletin-board HTTP address
     hint: str = ""  # hint-server UDP address
@@ -43,6 +44,8 @@ class ProtocolInfo:
     name: str = ""
     descr: str = ""
     nopart: int = 1
+    statdist: int = 100
+    bullboard: str = "com.verificatum.protocol.com.BullBoardBasicHTTPW"
     thres: int = 1
     pgroup: str = ""  # marshalled hex of the group
     keywidth: int = 1
@@ -50,7 +53,6 @@ class ProtocolInfo:
     vbitlenro: int = 256
     ebitlen: int = 128
     ebitlenro: int = 256
-    statdist: int = 100
     prg: str = "SHA-256"
     rohash: str = "SHA-256"
     corr: str = "noninteractive"
@@ -59,13 +61,20 @@ class ProtocolInfo:
     parties: List[PartyInfo] = field(default_factory=list)
 
     # ------------------------------------------------------------- I/O
+    # Field ORDER mirrors the reference protInfo.xml layout (version,
+    # sid, name, descr, nopart, statdist, bullboard, thres, pgroup,
+    # keywidth, bit lengths, prg, rohash, corr, width, maxciph, then
+    # per-party blocks) so generated files diff cleanly against
+    # reference-generated ones; unknown elements are ignored on read,
+    # so real Verificatum files parse.
 
     _FIELDS = [
-        "version", "sid", "name", "descr", "nopart", "thres", "pgroup",
-        "keywidth", "vbitlen", "vbitlenro", "ebitlen", "ebitlenro",
-        "statdist", "prg", "rohash", "corr", "width", "maxciph",
+        "version", "sid", "name", "descr", "nopart", "statdist",
+        "bullboard", "thres", "pgroup", "keywidth", "vbitlen",
+        "vbitlenro", "ebitlen", "ebitlenro", "prg", "rohash", "corr",
+        "width", "maxciph",
     ]
-    _PARTY_FIELDS = ["name", "srtbyrole", "pkey", "http", "hint"]
+    _PARTY_FIELDS = ["name", "srtbyrole", "descr", "pkey", "http", "hint"]
 
     def to_xml(self) -> str:
         root = ET.Element("protocol")

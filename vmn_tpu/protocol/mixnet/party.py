@@ -734,6 +734,13 @@ class MixSession:
                 else:
                     self._export(self._pf("Ciphertexts", l),
                                  out.to_bytetree())
+            # Out-of-core: intermediate ciphertext lists spill to disk
+            # memmaps in arrays=file mode (reference: file-mapped
+            # arrays, ProtocolElGamal.java:332-345).
+            from vmn_tpu.arith import storage as _storage
+
+            if _storage.backend() == "file":
+                out = out.spill()
             inp = out
 
         if valid_proofs < party.par.threshold:
@@ -904,6 +911,13 @@ class MixSession:
                 else:
                     self._export(self._pf("Ciphertexts", l),
                                  out.to_bytetree())
+            # Out-of-core: intermediate ciphertext lists spill to disk
+            # memmaps in arrays=file mode (reference: file-mapped
+            # arrays, ProtocolElGamal.java:332-345).
+            from vmn_tpu.arith import storage as _storage
+
+            if _storage.backend() == "file":
+                out = out.spill()
             inp = out
 
         if valid_proofs < self.party.par.threshold:
