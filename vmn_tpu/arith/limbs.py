@@ -109,7 +109,12 @@ def limbs_to_bytes_be(arr, nbytes: int) -> np.ndarray:
 
 
 def bytes_be_to_limbs(data: np.ndarray, L: int) -> np.ndarray:
-    """(..., nbytes) uint8 big-endian -> (..., L) uint32 limbs."""
+    """(..., nbytes) uint8 big-endian -> (..., L) uint16 limbs.
+
+    Pure strided arithmetic (no byteswap dtype views — those cost
+    seconds at N=65536); callers upload via `device_limbs`, which
+    accepts uint16 directly.
+    """
     data = np.asarray(data, dtype=np.uint8)
     nbytes = data.shape[-1]
     want = 2 * L
@@ -123,8 +128,10 @@ def bytes_be_to_limbs(data: np.ndarray, L: int) -> np.ndarray:
         if head.any():
             raise ValueError(f"integer too large for {L} limbs")
         data = data[..., nbytes - want :]
-    be = np.ascontiguousarray(data).view(">u2").reshape(*data.shape[:-1], L)
-    return be.astype(np.uint32)[..., ::-1].copy()
+    # limb k (LSB-first) = data[2L-2k-2]*256 + data[2L-2k-1]
+    hi = data[..., 0::2][..., ::-1].astype(np.uint16)
+    lo = data[..., 1::2][..., ::-1].astype(np.uint16)
+    return (hi << 8) | lo
 
 
 def bitlen_ints(arr) -> int:

@@ -541,10 +541,13 @@ class MontCtx:
     # -------------------------------------------------------- conversions
 
     def to_mont(self, a):
-        return mont_mul(a, self.r2_limbs, self.m_limbs, self.mprime)
+        # route through the dispatching mul: Pallas kernel on TPU for
+        # batched arrays (the XLA fallback is ~50x slower per product
+        # and sat on every serialization/sampling path)
+        return self.mul(a, self.r2_limbs)
 
     def from_mont(self, a):
-        return mont_mul(a, self.one, self.m_limbs, self.mprime)
+        return self.mul(a, self.one)
 
     def encode(self, xs) -> jnp.ndarray:
         """Python ints -> Montgomery-form device limbs (N, L)."""

@@ -211,7 +211,7 @@ class PField:
             raw = raw.copy()
             raw[:, 0] &= 0xFF >> extra
         if ebitlen >= self.nbits:
-            wide = jnp.asarray(
+            wide = device_limbs(
                 bytes_be_to_limbs(raw, max(self.L, num_limbs(ebitlen)))
             )
             return FArray(self, self.ctx.reduce_std(wide))
@@ -523,7 +523,7 @@ class ModPGroup:
         # vectorized range check: 0 < x < p
         if not _range_check_be(raw, self.p, self.bytelen):
             raise ByteTreeError("element out of range")
-        ga = GArray(self, self.ctx.to_mont(jnp.asarray(limbs)))
+        ga = GArray(self, self.ctx.to_mont(device_limbs(limbs)))
         if validate and not ga.is_in_group():
             raise ByteTreeError("element not in subgroup")
         if scalar:

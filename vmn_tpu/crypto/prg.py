@@ -64,6 +64,20 @@ class PRGHeuristic(PRG):
     def read_bytes(self, n: int) -> bytes:
         if self._seed is None:
             raise ValueError("PRG not seeded")
+        need = n - len(self._buffer)
+        blocksize = self.hashfunction.output_bytes
+        if (
+            need > 64 * blocksize
+            and self.hashfunction.name == "SHA-256"
+        ):
+            # Native counter-mode expansion: large-N batching vectors
+            # and prover randomness need 10^5-10^6 blocks per draw; the
+            # per-block Python loop costs microseconds each.
+            data = self._buffer + self._expand_native(
+                (need + blocksize - 1) // blocksize
+            )
+            self._buffer = data[n:]
+            return data[:n]
         chunks = [self._buffer]
         have = len(self._buffer)
         while have < n:
@@ -76,6 +90,28 @@ class PRGHeuristic(PRG):
         data = b"".join(chunks)
         self._buffer = data[n:]
         return data[:n]
+
+    def _expand_native(self, nblocks: int) -> bytes:
+        import ctypes
+
+        from vmn_tpu.native.build import get_lib
+
+        lib = get_lib()
+        if lib is None:
+            # toolchain-free fallback: plain Python loop
+            out = []
+            for _ in range(nblocks):
+                out.append(self.hashfunction.hash(
+                    self._seed + struct.pack(">i", self._counter)
+                ))
+                self._counter += 1
+            return b"".join(out)
+        buf = ctypes.create_string_buffer(32 * nblocks)
+        lib.prg_expand_sha256(
+            self._seed, len(self._seed), self._counter, nblocks, buf
+        )
+        self._counter += nblocks
+        return buf.raw
 
     def to_bytetree(self):
         from vmn_tpu.eio.marshal import marshal

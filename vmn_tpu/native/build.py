@@ -64,5 +64,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(ctypes.c_size_t),
         ]
+        lib.prg_expand_sha256.restype = None
+        lib.prg_expand_sha256.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int32,
+            ctypes.c_size_t, ctypes.c_char_p,
+        ]
         _lib = lib
         return _lib

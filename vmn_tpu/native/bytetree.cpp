@@ -102,3 +102,110 @@ int bt_probe_array(const uint8_t *buf, size_t len, size_t *n_out,
 }
 
 } // extern "C"
+
+// ---------------------------------------------------------------------
+// SHA-256 counter-mode PRG expansion (PRGHeuristic hot path).
+//
+// The PRG stream H(seed||be32(0)) || H(seed||be32(1)) || ... expands
+// Fiat-Shamir seeds into batching vectors and samples prover
+// randomness; the Python per-block loop costs ~1-2us/block and large-N
+// draws need 10^5-10^6 blocks.  (Reference equivalent: VCR
+// PRGHeuristic backed by native hashing.)
+
+namespace sha256impl {
+
+inline uint32_t rotr(uint32_t x, int n) {
+    return (x >> n) | (x << (32 - n));
+}
+
+static const uint32_t K[64] = {
+    0x428a2f98, 0x71374491, 0xb5c0fbcf, 0xe9b5dba5, 0x3956c25b,
+    0x59f111f1, 0x923f82a4, 0xab1c5ed5, 0xd807aa98, 0x12835b01,
+    0x243185be, 0x550c7dc3, 0x72be5d74, 0x80deb1fe, 0x9bdc06a7,
+    0xc19bf174, 0xe49b69c1, 0xefbe4786, 0x0fc19dc6, 0x240ca1cc,
+    0x2de92c6f, 0x4a7484aa, 0x5cb0a9dc, 0x76f988da, 0x983e5152,
+    0xa831c66d, 0xb00327c8, 0xbf597fc7, 0xc6e00bf3, 0xd5a79147,
+    0x06ca6351, 0x14292967, 0x27b70a85, 0x2e1b2138, 0x4d2c6dfc,
+    0x53380d13, 0x650a7354, 0x766a0abb, 0x81c2c92e, 0x92722c85,
+    0xa2bfe8a1, 0xa81a664b, 0xc24b8b70, 0xc76c51a3, 0xd192e819,
+    0xd6990624, 0xf40e3585, 0x106aa070, 0x19a4c116, 0x1e376c08,
+    0x2748774c, 0x34b0bcb5, 0x391c0cb3, 0x4ed8aa4a, 0x5b9cca4f,
+    0x682e6ff3, 0x748f82ee, 0x78a5636f, 0x84c87814, 0x8cc70208,
+    0x90befffa, 0xa4506ceb, 0xbef9a3f7, 0xc67178f2,
+};
+
+struct Ctx {
+    uint32_t h[8];
+};
+
+inline void init(Ctx &c) {
+    c.h[0] = 0x6a09e667; c.h[1] = 0xbb67ae85; c.h[2] = 0x3c6ef372;
+    c.h[3] = 0xa54ff53a; c.h[4] = 0x510e527f; c.h[5] = 0x9b05688c;
+    c.h[6] = 0x1f83d9ab; c.h[7] = 0x5be0cd19;
+}
+
+inline void block(Ctx &c, const uint8_t *p) {
+    uint32_t w[64];
+    for (int i = 0; i < 16; i++) {
+        w[i] = ((uint32_t)p[4 * i] << 24) | ((uint32_t)p[4 * i + 1] << 16)
+             | ((uint32_t)p[4 * i + 2] << 8) | (uint32_t)p[4 * i + 3];
+    }
+    for (int i = 16; i < 64; i++) {
+        uint32_t s0 = rotr(w[i - 15], 7) ^ rotr(w[i - 15], 18)
+                    ^ (w[i - 15] >> 3);
+        uint32_t s1 = rotr(w[i - 2], 17) ^ rotr(w[i - 2], 19)
+                    ^ (w[i - 2] >> 10);
+        w[i] = w[i - 16] + s0 + w[i - 7] + s1;
+    }
+    uint32_t a = c.h[0], b = c.h[1], cc = c.h[2], d = c.h[3];
+    uint32_t e = c.h[4], f = c.h[5], g = c.h[6], hh = c.h[7];
+    for (int i = 0; i < 64; i++) {
+        uint32_t S1 = rotr(e, 6) ^ rotr(e, 11) ^ rotr(e, 25);
+        uint32_t ch = (e & f) ^ (~e & g);
+        uint32_t t1 = hh + S1 + ch + K[i] + w[i];
+        uint32_t S0 = rotr(a, 2) ^ rotr(a, 13) ^ rotr(a, 22);
+        uint32_t maj = (a & b) ^ (a & cc) ^ (b & cc);
+        uint32_t t2 = S0 + maj;
+        hh = g; g = f; f = e; e = d + t1;
+        d = cc; cc = b; b = a; a = t1 + t2;
+    }
+    c.h[0] += a; c.h[1] += b; c.h[2] += cc; c.h[3] += d;
+    c.h[4] += e; c.h[5] += f; c.h[6] += g; c.h[7] += hh;
+}
+
+// One-shot SHA-256 of a message that fits the caller's buffer; msg may
+// be modified beyond len (padding written in place; caller provides
+// capacity for padding: len + 72 bytes).
+inline void digest(uint8_t *msg, size_t len, uint8_t *out) {
+    size_t total = len + 1 + 8;
+    size_t padded = (total + 63) / 64 * 64;
+    msg[len] = 0x80;
+    for (size_t i = len + 1; i < padded - 8; i++) msg[i] = 0;
+    uint64_t bits = (uint64_t)len * 8;
+    for (int i = 0; i < 8; i++)
+        msg[padded - 1 - i] = (uint8_t)(bits >> (8 * i));
+    Ctx c;
+    init(c);
+    for (size_t off = 0; off < padded; off += 64) block(c, msg + off);
+    for (int i = 0; i < 8; i++) put_be32(out + 4 * i, c.h[i]);
+}
+
+}  // namespace sha256impl
+
+extern "C" {
+
+// out must hold 32*nblocks bytes; stream = H(seed||be32(ctr0)) || ...
+void prg_expand_sha256(const uint8_t *seed, size_t seedlen,
+                       int32_t counter0, size_t nblocks, uint8_t *out) {
+    // message buffer: seed || counter, plus padding capacity
+    uint8_t msg[512];
+    if (seedlen > 256) return;  // PRG seeds are one digest long
+    std::memcpy(msg, seed, seedlen);
+    for (size_t i = 0; i < nblocks; i++) {
+        int32_t ctr = counter0 + (int32_t)i;
+        put_be32(msg + seedlen, (uint32_t)ctr);
+        sha256impl::digest(msg, seedlen + 4, out + 32 * i);
+    }
+}
+
+}  // extern "C"
