@@ -28,6 +28,38 @@ Layer map (mirrors reference SURVEY.md §1):
 
 __version__ = "0.1.0"
 
+
+def _enable_persistent_compile_cache():
+    """Turn on JAX's persistent compilation cache for every entry point.
+
+    The CI/TPU image pre-imports jax from sitecustomize, so setting
+    JAX_COMPILATION_CACHE_DIR in tool scripts after that import is a
+    no-op (the config default was already materialized) — which made
+    every CLI invocation recompile every program at ~10 s+ per program
+    over the device tunnel.  Configuring through jax.config here fixes
+    that for bench/CLI/tests alike.  Opt out with VMN_JAX_CACHE=0.
+    """
+    import os
+
+    flag = os.environ.get("VMN_JAX_CACHE", "1")
+    if flag in ("0", "", "off"):
+        return
+    cache_dir = (
+        flag if flag not in ("1", "on") else
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+    )
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_persistent_compile_cache()
+
 # Version string embedded in proofs.  The reference embeds the VCR version
 # (reference: ProtocolElGamal.java:659-683 hashes VCR.version() into the
 # global prefix; MixNetElGamalSession.java:102-103 writes it to `version`).

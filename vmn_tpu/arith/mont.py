@@ -382,6 +382,30 @@ def _expprod_shared(bases, e, m, mprime, one_mont, nbits: int,
     return acc[0]
 
 
+@functools.partial(jax.jit, static_argnames=("entries", "pallas"))
+def _fb_table_scan(bases, m, mprime, one_mont, entries: int, pallas: bool):
+    """Fixed-base window table on device: T[j, d] = bases_j^d.
+
+    bases: (J, L) Montgomery form — base^(2^(W·j)) per digit position.
+    Returns (J, entries, L) Montgomery form.  One compiled scan of
+    `entries-2` batched Montgomery products replaces the former host
+    Python loop (J·entries bignum modmuls + J·entries int_to_limbs —
+    ~2.3 s per base at 2048 bits, paid per session for the h0 table)."""
+    J, L = bases.shape
+    one = jnp.broadcast_to(one_mont, (J, L))
+
+    def step(carry, _):
+        nxt = _mul_dispatch(carry, bases, m, mprime, pallas)
+        return nxt, nxt
+
+    if entries <= 2:
+        parts = [one[None], bases[None]][:entries]
+        return jnp.transpose(jnp.concatenate(parts, axis=0), (1, 0, 2))
+    _, rest = jax.lax.scan(step, bases, None, length=entries - 2)
+    tbl = jnp.concatenate([one[None], bases[None], rest], axis=0)
+    return jnp.transpose(tbl, (1, 0, 2))
+
+
 @functools.partial(jax.jit)
 def _sum_tree(x, m):
     """Log-depth modular sum over axis 0 in one compiled program."""
@@ -694,26 +718,34 @@ class MontCtx:
 
     # -------------------------------------------------------- fixed base
 
+    def _fb_table_device(self, base_int: int, ndig: int, window: int):
+        """(ndig, 2^window, L) Montgomery-form table, built on device.
+
+        Host cost is only `ndig` Python modpows for the per-digit bases;
+        the 2^window-entry columns come from one compiled scan of
+        batched Montgomery products (see _fb_table_scan)."""
+        from vmn_tpu.arith.limbs import ints_to_limbs
+
+        m = self.m
+        step = 1 << window
+        bases = []
+        bj = base_int % m
+        for _ in range(ndig):
+            bases.append(bj)
+            bj = pow(bj, step, m)
+        b_mont = self.to_mont(jnp.asarray(ints_to_limbs(bases, self.L)))
+        return _fb_table_scan(
+            b_mont, self.m_limbs, self.mprime, self.one_mont, step,
+            use_pallas(),
+        )
+
     def fb_table_pallas(self, base_int: int, nbits: int):
         """(ndig, 16, L) Montgomery-form window-4 fixed-base table."""
         key = ("pallas4", base_int, nbits)
         tbl = self._fb_tables.get(key)
         if tbl is None:
             ndig = max(1, (nbits + 3) // 4)
-            rows = np.empty((ndig, 16, self.L), dtype=np.uint32)
-            m = self.m
-            R = self.R
-            gj = base_int % m
-            one_mont = R % m
-            one_limbs = int_to_limbs(one_mont, self.L)
-            for j in range(ndig):
-                rows[j, 0] = one_limbs
-                val = 1
-                for d in range(1, 16):
-                    val = val * gj % m
-                    rows[j, d] = int_to_limbs(val * R % m, self.L)
-                gj = pow(gj, 16, m)
-            tbl = jnp.asarray(rows)
+            tbl = self._fb_table_device(base_int, ndig, 4)
             self._fb_tables[key] = tbl
         return tbl
 
@@ -774,19 +806,7 @@ class MontCtx:
         tbl = self._fb_tables.get(key)
         if tbl is None:
             J = (max_ebits + window - 1) // window
-            rows = np.empty((J, 1 << window, self.L), dtype=np.uint32)
-            R = self.R
-            m = self.m
-            gj = base_int % m
-            one_mont = R % m
-            for j in range(J):
-                rows[j, 0] = int_to_limbs(one_mont, self.L)
-                val = 1
-                for d in range(1, 1 << window):
-                    val = val * gj % m
-                    rows[j, d] = int_to_limbs(val * R % m, self.L)
-                gj = pow(gj, 1 << window, m)
-            tbl = jnp.asarray(rows)
+            tbl = self._fb_table_device(base_int, J, window)
             self._fb_tables[key] = tbl
         return tbl
 
