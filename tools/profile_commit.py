@@ -41,9 +41,14 @@ def main():
 
     t0 = [time.perf_counter()]
 
+    def _sync_fetch(obj):
+        # block_until_ready is a no-op over the axon tunnel; a 1-element
+        # fetch is the only reliable sync point.
+        np.asarray(obj[(slice(0, 1),) * obj.ndim])
+
     def mark(name, obj=None):
         if obj is not None:
-            jax.block_until_ready(obj)
+            _sync_fetch(obj)
         t = time.perf_counter()
         print(f"  {name:30s} {t - t0[0]:7.2f}s", flush=True)
         t0[0] = time.perf_counter()
@@ -77,7 +82,7 @@ def main():
 
         gx = prover.g.exp(x)
         mark("g^x fixed-base full", gx.limbs)
-        h0y = h0.broadcast(n).exp(y)
+        h0y = h0.exp(y)
         mark("h0^y (h0 table + exp)", h0y.limbs)
         B = gx.mul(h0y)
         mark("B mul", B.limbs)
@@ -87,7 +92,7 @@ def main():
         yp = y.shift_push(ring.ones(()))
         eb = beta.add(xp.mul(prover.epsilon))
         mark("beta+xp*eps (ring ops)", eb.limbs)
-        Bp = prover.g.exp(eb).mul(h0.broadcast(n).exp(yp.mul(prover.epsilon)))
+        Bp = prover.g.exp(eb).mul(h0.exp(yp.mul(prover.epsilon)))
         mark("Bp 2x fixed-base full", Bp.limbs)
 
         phi = _plain_ring(pk_elem).random((), rs, par.rbitlen)

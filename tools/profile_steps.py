@@ -35,9 +35,14 @@ def main():
 
     t0 = [time.perf_counter()]
 
+    def _sync_fetch(obj):
+        # block_until_ready is a no-op over the axon tunnel; a 1-element
+        # fetch is the only reliable sync point.
+        np.asarray(obj[(slice(0, 1),) * obj.ndim])
+
     def mark(name, obj=None):
         if obj is not None:
-            jax.block_until_ready(obj)
+            _sync_fetch(obj)
         t = time.perf_counter()
         print(f"  {name:28s} {t - t0[0]:7.2f}s", flush=True)
         t0[0] = time.perf_counter()

@@ -108,14 +108,18 @@ class PoSProver:
         y = self.ipe.prods()
 
         # B_i = g^{x_i} h0^{y_i}
-        self.B = self.g.exp(x).mul(h0.broadcast(n).exp(y))
+        # h0 stays scalar-shaped: ctx.exp broadcasts a 1-D base and
+        # routes it to the fixed-base kernel (an explicit broadcast(n)
+        # hid the shared base and forced variable-base windowed exps —
+        # ~5x the products).
+        self.B = self.g.exp(x).mul(h0.exp(y))
 
         # blinders: B'_i = g^{beta_i + xp_i eps_i} h0^{yp_i eps_i}
         self.beta = ring.random((n,), self.rs, par.rbitlen)
         xp = x.shift_push(ring.zeros(()))
         yp = y.shift_push(ring.ones(()))
         self.Bp = self.g.exp(self.beta.add(xp.mul(self.epsilon))).mul(
-            h0.broadcast(n).exp(yp.mul(self.epsilon))
+            h0.exp(yp.mul(self.epsilon))
         )
 
         self.gamma = ring.random((), self.rs, par.rbitlen)
