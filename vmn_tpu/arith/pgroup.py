@@ -251,7 +251,9 @@ class PField:
             lt = diff[rows, first_nz] < 0
             if not lt.all():
                 raise ByteTreeError("field element out of range")
-            return FArray(self, device_limbs(bytes_be_to_limbs(raw, self.L)))
+            fa = FArray(self, device_limbs(bytes_be_to_limbs(raw, self.L)))
+            fa._bt = bt  # canonical encoding == input; memo the fetch
+            return fa
         xs = [c.to_int_unsigned() for c in bt.children]
         if any(x >= self.q for x in xs):
             raise ByteTreeError("field element out of range")
@@ -528,6 +530,11 @@ class ModPGroup:
             raise ByteTreeError("element not in subgroup")
         if scalar:
             return ga.get(0)
+        # Seed the serialization memo: the canonical fixed-size encoding
+        # of a parsed array is the input itself, so a later export of
+        # this array (transcript writes in the shuffle/decrypt chains)
+        # costs no device fetch.
+        ga._bt = bt
         return ga
 
     def to_bytetree(self) -> ByteTree:

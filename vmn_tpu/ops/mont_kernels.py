@@ -127,26 +127,34 @@ def _mmul_rows(x_ref, x_off, L, y, m, mp, m_ext):
     canonical (L, TN) value.  Reads of x happen one sublane row at a
     time (dynamic slice), so callers may alias the destination with x
     as long as they write only after this returns.
+
+    Lazy-carry CIOS: the accumulator rows stay UNNORMALIZED across the
+    whole pass.  Each iteration adds lo=(p1&mask)+(p2&mask) < 2^17 and
+    hi=(p1>>16)+(p2>>16) < 2^17 and folds only the row-0 carry, so a
+    row accumulates < L*2^18 < 2^25 — far under the uint32 ceiling —
+    and one final log-depth normalization replaces per-iteration carry
+    splitting (was ~18 tile ops/iteration, now ~12).
     """
     mask = jnp.uint32(LIMB_MASK)
     TN = y.shape[1]
     zero_row = jnp.zeros((1, TN), jnp.uint32)
-
-    def pad0(v):  # (L, TN) -> (L+1, TN)
-        return jnp.concatenate([v, zero_row], axis=0)
-
-    def shift_up(v):  # (L, TN) -> (L+1, TN), rows move up one
-        return jnp.concatenate([zero_row, v], axis=0)
+    zero_rest = jnp.zeros((L, TN), jnp.uint32)
 
     def body(i, t):
+        # t: (L+1, TN), rows < 2^25 (unnormalized)
         xi = x_ref[pl.ds(x_off * L + i, 1), :]  # (1, TN)
-        prod = xi * y
-        t = t + pad0(prod & mask) + shift_up(prod >> LIMB_BITS)
-        q = (t[:1, :] * mp) & mask
+        p1 = xi * y
+        # q from the exact low 16 bits of t0 + p1_0 (mod-2^32 adds keep
+        # low bits exact); then p2 = q*m cancels row 0 mod 2^16.
+        q = (((t[:1, :] + p1[:1, :]) & mask) * mp) & mask
         p2 = q * m
-        t = t + pad0(p2 & mask) + shift_up(p2 >> LIMB_BITS)
-        carry0 = t[:1, :] >> LIMB_BITS
-        t = jnp.concatenate([t[1:2, :] + carry0, t[2:, :], zero_row], axis=0)
+        lo = (p1 & mask) + (p2 & mask)
+        hi = (p1 >> LIMB_BITS) + (p2 >> LIMB_BITS)
+        t = t + jnp.concatenate([lo, zero_row], axis=0)
+        carry0 = t[:1, :] >> LIMB_BITS  # < 2^10
+        # drop row 0 (low 16 bits are 0), add the hi parts one row up
+        t = jnp.concatenate([t[1:, :] + hi, zero_row], axis=0)
+        t = t + jnp.concatenate([carry0, zero_rest], axis=0)
         return t
 
     t = jax.lax.fori_loop(
