@@ -96,3 +96,35 @@ def test_cli_full_flow(tmp_path, monkeypatch):
     # --- vtm dispatcher ------------------------------------------------
     assert vtm.main(["vbt", "plaintexts.bt"]) == 0
     assert vtm.main(["bogus"]) == 2
+
+
+def test_sact_lact_roundtrip(tmp_path, monkeypatch, capsys):
+    """`vmn -sact` then `-lact` must report the PERSISTED active set
+    (reference: MixNetElGamalTool.java:676-699).  Regression: -lact
+    used to print before loading the `.active` file."""
+    monkeypatch.chdir(tmp_path)
+    assert vmni.main([
+        "-prot", "-sid", "ActTest", "-nopart", "3", "-thres", "2",
+        "-pgroup", GROUP, "-stub", "stub.xml",
+    ]) == 0
+    locals_ = []
+    for i in (1, 2, 3):
+        assert vmni.main([
+            "-party", "-name", f"Party{i:02d}", "-stub", "stub.xml",
+            "-dir", str(tmp_path / f"p{i}"), "-seed", "",
+            "-out", f"local{i}.xml",
+            "-http", f"http://127.0.0.1:{8040 + i}",
+            "-hint", f"127.0.0.1:{4040 + i}",
+        ]) == 0
+        (tmp_path / "privInfo.xml").rename(tmp_path / f"priv{i}.xml")
+        locals_.append(f"local{i}.xml")
+    assert vmni.main(["-merge", *locals_, "-out", "protInfo.xml"]) == 0
+
+    # default: all active
+    assert vmn.main(["-lact", "priv1.xml", "protInfo.xml"]) == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "1,2,3"
+
+    assert vmn.main(["-sact", "1,3", "priv1.xml", "protInfo.xml"]) == 0
+    capsys.readouterr()
+    assert vmn.main(["-lact", "priv1.xml", "protInfo.xml"]) == 0
+    assert capsys.readouterr().out.strip().splitlines()[-1] == "1,3"

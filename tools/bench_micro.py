@@ -11,7 +11,6 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax

@@ -6,7 +6,6 @@ Prints per-op steady-state timings and derived modexp/s/chip.
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
 
 import jax
 import jax.numpy as jnp

@@ -44,11 +44,23 @@ def _enable_persistent_compile_cache():
     flag = os.environ.get("VMN_JAX_CACHE", "1")
     if flag in ("0", "", "off"):
         return
+    # Default to a USER-SCOPED directory: a world-shared /tmp path could
+    # be pre-created or tampered with by another local user, and JAX does
+    # not authenticate cache entries that feed the proof computation.
+    default_dir = os.path.join(
+        os.path.expanduser("~"), ".cache", "vmn_tpu", "jax"
+    )
     cache_dir = (
         flag if flag not in ("1", "on") else
-        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache_tpu")
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", default_dir)
     )
     try:
+        if os.path.exists(cache_dir):
+            st = os.stat(cache_dir)
+            if st.st_uid != os.getuid():
+                return  # refuse a directory owned by someone else
+        else:
+            os.makedirs(cache_dir, mode=0o700, exist_ok=True)
         import jax
 
         jax.config.update("jax_compilation_cache_dir", cache_dir)

@@ -29,6 +29,7 @@ on CPU and as fallback.
 
 from __future__ import annotations
 
+import collections
 import functools
 import os
 from typing import Optional, Tuple
@@ -559,8 +560,17 @@ class MontCtx:
         self.one_mont = jnp.asarray(int_to_limbs(self.R % m, self.L))
         self.one = jnp.asarray(int_to_limbs(1, self.L))
         self.zero = jnp.asarray(int_to_limbs(0, self.L))
-        self._fb_tables = {}
-        self._known_ints = {}
+        # Fixed-base tables are large device buffers (a window-8 table at
+        # 2048 bits is ~33 MB of HBM).  Session-derived bases (h0 per mix
+        # session) would accrete one table per session forever, so the
+        # cache is a small LRU: long-lived bases (g, pk) are re-touched
+        # every operation and stay resident; stale session tables fall
+        # off the end and their HBM is freed.
+        self._fb_tables = collections.OrderedDict()
+        self._known_ints = collections.OrderedDict()
+
+    _FB_CACHE_MAX = 8
+    _KNOWN_INT_MAX = 256
 
     # -------------------------------------------------------- conversions
 
@@ -739,14 +749,25 @@ class MontCtx:
             use_pallas(),
         )
 
+    def _fb_cache_get(self, key):
+        tbl = self._fb_tables.get(key)
+        if tbl is not None:
+            self._fb_tables.move_to_end(key)
+        return tbl
+
+    def _fb_cache_put(self, key, tbl):
+        self._fb_tables[key] = tbl
+        while len(self._fb_tables) > self._FB_CACHE_MAX:
+            self._fb_tables.popitem(last=False)
+
     def fb_table_pallas(self, base_int: int, nbits: int):
         """(ndig, 16, L) Montgomery-form window-4 fixed-base table."""
         key = ("pallas4", base_int, nbits)
-        tbl = self._fb_tables.get(key)
+        tbl = self._fb_cache_get(key)
         if tbl is None:
             ndig = max(1, (nbits + 3) // 4)
             tbl = self._fb_table_device(base_int, ndig, 4)
-            self._fb_tables[key] = tbl
+            self._fb_cache_put(key, tbl)
         return tbl
 
     def exp_fixed(self, base_int: int, e, nbits: Optional[int] = None):
@@ -798,16 +819,20 @@ class MontCtx:
         if val is None:
             val = limbs_to_int(np.asarray(self.from_mont(limbs)))
             self._known_ints[key] = val
+            while len(self._known_ints) > self._KNOWN_INT_MAX:
+                self._known_ints.popitem(last=False)
+        else:
+            self._known_ints.move_to_end(key)
         return val
 
     def fixed_base_table(self, base_int: int, max_ebits: int, window: int = 8):
         """Build (or fetch cached) shared fixed-base table for `base_int`."""
         key = (base_int, max_ebits, window)
-        tbl = self._fb_tables.get(key)
+        tbl = self._fb_cache_get(key)
         if tbl is None:
             J = (max_ebits + window - 1) // window
             tbl = self._fb_table_device(base_int, J, window)
-            self._fb_tables[key] = tbl
+            self._fb_cache_put(key, tbl)
         return tbl
 
     def fixed_base_exp(self, base_int: int, e, ebits: int, window: int = 8):

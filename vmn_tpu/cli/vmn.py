@@ -47,7 +47,7 @@ def _board(prot, priv, j):
     return HTTPBulletinBoard(prot, priv, j)
 
 
-def _mk_party(prot, priv, silent=False):
+def _mk_party(prot, priv, silent=False, offline=False):
     from vmn_tpu.crypto.provable import resolve_random_source
     from vmn_tpu.crypto.randomsource import SeededSource
     from vmn_tpu.protocol.log import Log
@@ -72,8 +72,18 @@ def _mk_party(prot, priv, silent=False):
         rs = SeededSource(Path(priv.seed).read_bytes())
     else:
         rs = resolve_random_source(priv.rand, directory=priv.dir)
+    if offline:
+        # Active-set administration (-lact/-sact) touches only local
+        # state; do not bind the board's HTTP/hint ports (reference:
+        # MixNetElGamalTool starts servers only in the protocol prelude,
+        # MixNetElGamalTool.java:118-122,676-699).
+        from vmn_tpu.protocol.com.board import LocalBoardHub
+
+        board = LocalBoardHub(prot.nopart).board(j)
+    else:
+        board = _board(prot, priv, j)
     party = MixNetParty(
-        prot.to_params(), _board(prot, priv, j), rs, priv.dir, log=log
+        prot.to_params(), board, rs, priv.dir, log=log
     )
     return party
 
@@ -131,13 +141,11 @@ def _run(p, args) -> int:
     iface_out = get_interface(args.outi)
 
     t0 = time.time()
-    party = _mk_party(prot, priv, silent=args.silent)
+    party = _mk_party(
+        prot, priv, silent=args.silent,
+        offline=bool(args.lact or args.sact),
+    )
 
-    if args.lact:
-        print(",".join(
-            str(l) for l in range(1, party.k + 1) if party.active[l]
-        ))
-        return 0
     if args.sact:
         active = [False] * (party.k + 1)
         for tok in args.sact.split(","):
@@ -146,12 +154,21 @@ def _run(p, args) -> int:
         with open(Path(priv.dir) / ".active", "w") as f:
             f.write(args.sact)
         return 0
+    # Load the persisted active set BEFORE any mode that reads it
+    # (-lact included — reference: MixNetElGamalTool.java:676-699 reads
+    # the stored set before listing).
     if Path(priv.dir, ".active").exists():
         toks = Path(priv.dir, ".active").read_text().split(",")
         active = [False] * (party.k + 1)
         for tok in toks:
             active[int(tok)] = True
         party.set_active(active)
+
+    if args.lact:
+        print(",".join(
+            str(l) for l in range(1, party.k + 1) if party.active[l]
+        ))
+        return 0
 
     if args.delete:
         # Delete SESSION state (nizkp + cached precomp), keep keys —

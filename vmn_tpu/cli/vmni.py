@@ -64,15 +64,26 @@ def main(argv=None) -> int:
 
     if args.party:
         pi = ProtocolInfo.read(args.stub)
+        pkey, skey = args.pkey, args.skey
+        if not pkey and not skey:
+            # Generate the bulletin-board signature keypair like the
+            # reference info tool does (reference: demo/mixnet/
+            # info_files:57-199 — vmni -party emits fresh `pkey`/`skey`).
+            from vmn_tpu.crypto.provable import resolve_random_source
+            from vmn_tpu.crypto.signature import SignatureKeyPair
+
+            rs = resolve_random_source(args.rand, directory=args.dir)
+            kp = SignatureKeyPair.generate(rs)
+            pkey, skey = kp.public.to_hex(), kp.to_hex()
         pi.parties.append(PartyInfo(
-            name=args.name, pkey=args.pkey, http=args.http,
+            name=args.name, pkey=pkey, http=args.http,
             hint=args.hint,
         ))
         out = args.out or "localProtInfo.xml"
         pi.write(out)
         priv = PrivateInfo(
             name=args.name, dir=args.dir, rand=args.rand,
-            skey=args.skey, arrays=args.arrays, seed=args.seed,
+            skey=skey, arrays=args.arrays, seed=args.seed,
         )
         priv.write("privInfo.xml")
         print(f"wrote {out} and privInfo.xml")
