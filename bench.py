@@ -2,14 +2,15 @@
 
 Runs a complete k=1 mix — re-encryption shuffle + Terelius-Wikström
 proof + verifiable decryption, full Fiat-Shamir transcript written to a
-nizkp directory — on the real device, and reports throughput as ONE
-JSON line (driver contract).
+nizkp directory — on the real device, then verifies the transcript with
+the standalone verifier (the north star is mix+prove+VERIFY), and
+reports ONE JSON line (driver contract) with both timings.
 
 Methodology mirrors the reference's benchmark harness, which times the
 `vmn -mix` operation end to end (reference: demo/mixnet/bench:33-86 and
 the postlude report, MixNetElGamalTool.java:130-207).
 
-Env knobs: VMN_BENCH_N (default 1024), VMN_BENCH_GROUP (modp2048).
+Env knobs: VMN_BENCH_N (default 65536), VMN_BENCH_GROUP (modp2048).
 """
 
 import json
@@ -77,6 +78,22 @@ def main():
 
         ok = sorted(plaintexts.to_ints()) == sorted(msgs)
 
+        # Standalone universal verification of the transcript
+        # (vmnv equivalent; warm pass on the "benchwarm" transcript
+        # populates its compile cache).
+        from pathlib import Path
+
+        from vmn_tpu.protocol.mixnet.verifier import FiatShamirVerifier
+
+        FiatShamirVerifier(
+            params, Path(tmp) / "nizkp.benchwarm"
+        ).verify(expected_type="mixing")
+        t0 = time.time()
+        vres = FiatShamirVerifier(
+            params, Path(tmp) / "nizkp.bench"
+        ).verify(expected_type="mixing")
+        dt_verify = time.time() - t0
+
     # vs_baseline: the reference publishes no absolute numbers in-repo
     # (BASELINE.md); we report the ratio to this repo's round-1 result
     # (13.829 ciphertexts/s, BENCH_r01.json) so progress is comparable.
@@ -90,6 +107,10 @@ def main():
         "group": group_name,
         "seconds": round(dt, 3),
         "correct": bool(ok),
+        "verify_seconds": round(dt_verify, 3),
+        "verify_cps": round(n / dt_verify, 3),
+        "mix_prove_verify_cps": round(n / (dt + dt_verify), 3),
+        "verify_ok": bool(vres.ok),
     }
     print(json.dumps(result))
 

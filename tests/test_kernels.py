@@ -133,3 +133,144 @@ def test_kernels_match_xla_path(ctx):
             a, e, ctx.m_limbs, ctx.mprime, ctx.one_mont, 256
         )
     assert np.array_equal(np.asarray(xla), np.asarray(pal))
+
+
+# ---------------------------------------------------------- EC kernels
+
+
+def _host_ec_add(p, a, P, Q):
+    if P is None:
+        return Q
+    if Q is None:
+        return P
+    x1, y1 = P
+    x2, y2 = Q
+    if x1 == x2 and (y1 + y2) % p == 0:
+        return None
+    if P == Q:
+        lam = (3 * x1 * x1 + a) * pow(2 * y1, -1, p) % p
+    else:
+        lam = (y2 - y1) * pow(x2 - x1, -1, p) % p
+    x3 = (lam * lam - x1 - x2) % p
+    y3 = (lam * (x1 - x3) - y1) % p
+    return (x3, y3)
+
+
+def _host_ec_mul(p, a, P, k):
+    acc = None
+    add = P
+    while k:
+        if k & 1:
+            acc = _host_ec_add(p, a, acc, add)
+        add = _host_ec_add(p, a, add, add)
+        k >>= 1
+    return acc
+
+
+def test_ec_scalar_mul_pallas_interpret():
+    """Fused Jacobian scalar-mul kernel vs host affine arithmetic,
+    including identity scalars and the infinity input point."""
+    from vmn_tpu.arith.ec import ECqPGroup
+    from vmn_tpu.ops import ec_kernels, mont_kernels
+
+    grp = ECqPGroup.named("P-256")
+    ctx = grp.ctx
+    p, a = grp.p, grp.a
+    G = (grp.gx, grp.gy)
+    scalars = [0, 1, 2, 3, grp.n - 1, grp.n - 2, 12345,
+               (1 << 255) + 99, grp.n // 3, 7]
+    pts = [_host_ec_mul(p, a, G, i + 2) for i in range(len(scalars))]
+    want = [_host_ec_mul(p, a, pt, k) for pt, k in zip(pts, scalars)]
+
+    xs = ctx.encode([pt[0] for pt in pts])
+    ys = ctx.encode([pt[1] for pt in pts])
+    inf = jnp.zeros((len(pts),), bool)
+    Le = (256 + 15) // 16
+    e = jnp.asarray(np.stack([
+        int_to_limbs(k, Le) for k in scalars
+    ]))
+
+    old = mont_kernels.INTERPRET
+    mont_kernels.INTERPRET = True
+    try:
+        X, Y, Z = ec_kernels.ec_scalar_mul_pallas(
+            xs, ys, inf, e, ctx.m_limbs, ctx.mprime, ctx.one_mont, 256
+        )
+        x_aff, y_aff, inf_out = grp.curve.normalize(X, Y, Z)
+    finally:
+        mont_kernels.INTERPRET = old
+    got_x = _from_mont_ints(ctx, np.asarray(x_aff))
+    got_y = _from_mont_ints(ctx, np.asarray(y_aff))
+    infs = np.asarray(inf_out)
+    for i, w in enumerate(want):
+        if w is None:
+            assert infs[i], f"row {i}: expected infinity"
+        else:
+            assert not infs[i] and (got_x[i], got_y[i]) == w, f"row {i}"
+
+    # infinity input point stays infinity under any scalar
+    X, Y, Z = None, None, None
+    mont_kernels.INTERPRET = True
+    try:
+        X, Y, Z = ec_kernels.ec_scalar_mul_pallas(
+            ctx.encode([0]), ctx.encode([0]), jnp.ones((1,), bool),
+            e[:1], ctx.m_limbs, ctx.mprime, ctx.one_mont, 256,
+        )
+    finally:
+        mont_kernels.INTERPRET = old
+    assert np.all(np.asarray(Z) == 0)
+
+
+def test_ec_point_add_pallas_interpret():
+    """Jacobian add kernel vs host affine arithmetic, incl. P+P, P+(-P),
+    inf+P and P+inf."""
+    from vmn_tpu.arith.ec import ECqPGroup
+    from vmn_tpu.ops import ec_kernels, mont_kernels
+
+    grp = ECqPGroup.named("P-256")
+    ctx = grp.ctx
+    p, a = grp.p, grp.a
+    G = (grp.gx, grp.gy)
+    P2 = _host_ec_add(p, a, G, G)
+    P3 = _host_ec_add(p, a, P2, G)
+    negG = (G[0], p - G[1])
+    cases = [
+        (G, P2),      # general
+        (G, G),       # double
+        (G, negG),    # inverse -> inf
+        (None, P3),   # inf + P
+        (P3, None),   # P + inf
+        (None, None),  # inf + inf
+        (P2, P3),
+        (P3, P3),
+    ]
+    want = [_host_ec_add(p, a, u, v) for u, v in cases]
+
+    def enc(col):
+        xs = ctx.encode([0 if q is None else q[0] for q in col])
+        ys = ctx.encode([0 if q is None else q[1] for q in col])
+        z = jnp.stack([
+            jnp.zeros((ctx.L,), jnp.uint32) if q is None
+            else jnp.asarray(ctx.one_mont) for q in col
+        ])
+        return xs, ys, z
+
+    x1, y1, z1 = enc([c[0] for c in cases])
+    x2, y2, z2 = enc([c[1] for c in cases])
+    old = mont_kernels.INTERPRET
+    mont_kernels.INTERPRET = True
+    try:
+        X, Y, Z = ec_kernels.ec_point_add_pallas(
+            x1, y1, z1, x2, y2, z2, ctx.m_limbs, ctx.mprime
+        )
+        x_aff, y_aff, inf_out = grp.curve.normalize(X, Y, Z)
+    finally:
+        mont_kernels.INTERPRET = old
+    got_x = _from_mont_ints(ctx, np.asarray(x_aff))
+    got_y = _from_mont_ints(ctx, np.asarray(y_aff))
+    infs = np.asarray(inf_out)
+    for i, w in enumerate(want):
+        if w is None:
+            assert infs[i], f"case {i}: expected infinity"
+        else:
+            assert not infs[i] and (got_x[i], got_y[i]) == w, f"case {i}"

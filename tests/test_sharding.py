@@ -77,6 +77,58 @@ def test_sharded_group_ops_match_single_device(mesh):
     assert np.array_equal(np.asarray(pm1.limbs), np.asarray(pm2.limbs))
 
 
+def test_sharded_pallas_kernel_ops(mesh, monkeypatch):
+    """The Pallas fast path is shard-capable: with the kernels forced on
+    (interpret mode emulates TPU Mosaic on CPU), sharded inputs route
+    through the shard_map-wrapped kernels in parallel/mesh.py and give
+    bit-identical results to the single-device XLA run (reference
+    analogue: VCR's transparent array-op thread parallelism, SURVEY.md
+    §2.5)."""
+    from vmn_tpu.arith import mont
+    from vmn_tpu.ops import mont_kernels
+
+    group = ModPGroup.named("test256")
+    rs = SeededSource(b"shard-pallas")
+    xs = group.ring.random((N,), rs, 64)
+    arr = group.g.exp(xs)
+    e = group.ring.random((N,), rs, 64)
+    b = group.ring.random((N,), SeededSource(b"b2"), 64)
+
+    # Single-device references on the XLA path.
+    ref_exp = np.asarray(arr.exp(e).limbs)
+    ref_mul = np.asarray(arr.mul(arr).limbs)
+    ref_prod = np.asarray(arr.prod().limbs)
+    ref_ep = np.asarray(arr.exp_prod(e, 128).limbs)
+    ref_scan = np.asarray(e.prods().limbs)
+    ref_rl = np.asarray(b.rec_lin(e)[0].limbs)
+    ref_sum = np.asarray(e.sum().limbs)
+    ref_fb = np.asarray(group.g.exp(e).limbs)
+
+    sharded = shard_array(arr, mesh)
+    e_sh = shard_array(e, mesh)
+    b_sh = shard_array(b, mesh)
+
+    # Kernels through the basic Pallas interpreter (per-device, no
+    # shared-state callbacks -> composes with shard_map on CPU).
+    monkeypatch.setattr(mont_kernels, "INTERPRET", True)
+    monkeypatch.setattr(mont, "_PALLAS_ENABLED", True)
+    assert np.array_equal(np.asarray(sharded.exp(e_sh).limbs), ref_exp)
+    assert np.array_equal(np.asarray(sharded.mul(sharded).limbs), ref_mul)
+    assert np.array_equal(np.asarray(sharded.prod().limbs), ref_prod)
+    assert np.array_equal(
+        np.asarray(sharded.exp_prod(e_sh, 128).limbs), ref_ep
+    )
+    assert np.array_equal(np.asarray(e_sh.prods().limbs), ref_scan)
+    assert np.array_equal(
+        np.asarray(b_sh.rec_lin(e_sh)[0].limbs), ref_rl
+    )
+    assert np.array_equal(np.asarray(e_sh.sum().limbs), ref_sum)
+    # fixed-base kernel route (shared host-known base, sharded e)
+    assert np.array_equal(
+        np.asarray(group.g.exp(e_sh).limbs), ref_fb
+    )
+
+
 def _mix_once(tmp_path, tag, ciphs):
     params = ProtocolParams(
         sid="ShardSID", k=1, threshold=1,
@@ -132,3 +184,42 @@ def test_sharded_mix_bit_identical(tmp_path, mesh):
         params2, tmp_path / "sharded" / "nizkp.aux"
     ).verify(expected_type="mixing")
     assert res.ok
+
+
+def test_sharded_mix_pallas_bit_identical(tmp_path, mesh, monkeypatch):
+    """The FULL k=1 mix over sharded inputs with the Pallas kernel path
+    forced on (basic interpreter on the CPU mesh) — what a real
+    multi-chip TPU run executes — is bit-identical to the plain
+    single-device XLA run."""
+    from vmn_tpu.arith import mont
+    from vmn_tpu.ops import mont_kernels
+
+    group = ModPGroup.named("test256")
+    params = ProtocolParams(
+        sid="ShardSID", k=1, threshold=1, pgroup=group,
+    )
+    hub = LocalBoardHub(1)
+    pk_party = MixNetParty(
+        params, hub.board(1), SeededSource(b"shard-party"),
+        str(tmp_path / "pk"),
+    )
+    pk = pk_party.keygen()
+    enc_rs = SeededSource(b"ciphs")
+    msgs = [group.encode_message(f"{i:08d}".encode()) for i in range(N)]
+    m = group.from_ints(msgs)
+    r = group.ring.random((N,), enc_rs, 0)
+    ciphs = elgamal.encrypt(pk, m, r)
+
+    _, _, out_plain = _mix_once(tmp_path, "single2", ciphs)
+
+    monkeypatch.setattr(mont_kernels, "INTERPRET", True)
+    monkeypatch.setattr(mont, "_PALLAS_ENABLED", True)
+    _, _, out_shard = _mix_once(
+        tmp_path, "sharded2", shard_array(ciphs, mesh)
+    )
+    assert np.array_equal(
+        np.asarray(out_plain.limbs), np.asarray(out_shard.limbs)
+    )
+    f1 = (tmp_path / "single2" / "nizkp.aux" / "ShuffledCiphertexts.bt")
+    f2 = (tmp_path / "sharded2" / "nizkp.aux" / "ShuffledCiphertexts.bt")
+    assert f1.read_bytes() == f2.read_bytes()

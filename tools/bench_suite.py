@@ -103,6 +103,29 @@ def bench_micro():
     t = _timeit(lambda: ctx.expprod(a, e_full, 2047))
     out["expprod_2047bit_per_sec"] = round(N / t, 1)
 
+    # EC P-256: fused Jacobian scalar-mul kernel (the reference default
+    # bench group, bench_config:33-45, served there by native `vec`).
+    from vmn_tpu.arith.ec import ECqPGroup
+    from vmn_tpu.ops.ec_kernels import ec_scalar_mul_pallas
+
+    ec = ECqPGroup.named("P-256")
+    ectx = ec.ctx
+    n_ec = 16384
+    pts = ec.g.broadcast(n_ec)
+    e_ec = jnp.asarray(
+        rng.integers(0, 1 << 16, size=(n_ec, 16), dtype=np.uint32)
+    )
+
+    def _ec_run():
+        X, Y, Z = ec_scalar_mul_pallas(
+            pts.x, pts.y, pts.inf, e_ec, ectx.m_limbs, ectx.mprime,
+            ectx.one_mont, 256,
+        )
+        return X
+
+    t = _timeit(_ec_run)
+    out["p256_scalar_mul_per_sec_per_chip"] = round(n_ec / t, 1)
+
     # Roofline: in-kernel Montgomery product rate vs VPU lane-op bound.
     # One CIOS product = L iterations x (2 muls + ~8 adds/shifts/masks)
     # over L-limb rows = ~10*L^2 = 164k lane-ops at L=128.
@@ -122,10 +145,12 @@ def bench_micro():
     return out
 
 
-def _mix_once(n, k=1, threshold=1, width=1):
+def _mix_once(n, k=1, threshold=1, width=1, group_name="modp2048",
+              time_verify=False):
     """One timed in-process mix (threads for k>1); returns ciphs/s."""
     import tempfile
     import threading
+    from pathlib import Path
 
     from vmn_tpu.arith.pgroup import ModPGroup, PPArray
     from vmn_tpu.crypto.hash import SHA256
@@ -136,8 +161,13 @@ def _mix_once(n, k=1, threshold=1, width=1):
     from vmn_tpu.protocol.context import ProtocolParams
     from vmn_tpu.protocol.mixnet.party import MixNetParty
 
-    group = ModPGroup.named("modp2048")
-    params = ProtocolParams(sid=f"BS{n}.{k}.{width}", k=k,
+    if group_name.startswith("P-"):
+        from vmn_tpu.arith.ec import ECqPGroup
+
+        group = ECqPGroup.named(group_name)
+    else:
+        group = ModPGroup.named(group_name)
+    params = ProtocolParams(sid=f"BS{n}.{k}.{width}.{group_name}", k=k,
                             threshold=threshold, pgroup=group)
     hub = LocalBoardHub(k)
     with tempfile.TemporaryDirectory() as tmp:
@@ -174,7 +204,8 @@ def _mix_once(n, k=1, threshold=1, width=1):
         )
         ciphs = elgamal.encrypt(pk.widen(width), m, r)
         jax.block_until_ready(jax.tree_util.tree_leaves(
-            [c.limbs for c in _leaves(ciphs)]
+            [getattr(c, "limbs", getattr(c, "x", None))
+             for c in _leaves(ciphs)]
         ))
 
         # warm pass
@@ -186,8 +217,26 @@ def _mix_once(n, k=1, threshold=1, width=1):
         leaf = outs[1]
         while hasattr(leaf, "components"):
             leaf = leaf.project(0)
-        np.asarray(leaf.limbs)
+        np.asarray(getattr(leaf, "limbs", getattr(leaf, "x", None)))
         dt = time.time() - t0
+        dt_verify = None
+        if time_verify:
+            from vmn_tpu.protocol.mixnet.verifier import (
+                FiatShamirVerifier,
+            )
+
+            # warm, then timed (vmnv equivalent on the nizkp transcript)
+            FiatShamirVerifier(
+                params, Path(tmp) / "P1" / "nizkp.warm"
+            ).verify(expected_type="mixing")
+            t0 = time.time()
+            vres = FiatShamirVerifier(
+                params, Path(tmp) / "P1" / "nizkp.timed"
+            ).verify(expected_type="mixing")
+            assert vres.ok
+            dt_verify = time.time() - t0
+    if time_verify:
+        return n / dt, dt, dt_verify
     return n / dt, dt
 
 
@@ -224,7 +273,9 @@ def _run_mix(parties, hub, aux, width, ciphs, k):
 
 
 def main():
-    sections = sys.argv[1:] or ["micro", "lengths", "parties", "widths"]
+    sections = sys.argv[1:] or [
+        "micro", "lengths", "parties", "widths", "p256", "verify"
+    ]
     path = ROOT / "BENCH_micro.json"
     report = {}
     if path.exists():
@@ -260,6 +311,26 @@ def main():
                          "seconds": round(dt, 1)})
             print(rows[-1])
         report["mix_widths"] = rows
+
+    if "p256" in sections:
+        cps, dt, dtv = _mix_once(16384, group_name="P-256",
+                                 time_verify=True)
+        report["mix_p256"] = {
+            "n": 16384, "cps": round(cps, 1), "seconds": round(dt, 1),
+            "verify_seconds": round(dtv, 1),
+            "verify_cps": round(16384 / dtv, 1),
+        }
+        print(report["mix_p256"])
+
+    if "verify" in sections:
+        cps, dt, dtv = _mix_once(65536, time_verify=True)
+        report["mix_verify_2048"] = {
+            "n": 65536, "cps": round(cps, 1), "seconds": round(dt, 1),
+            "verify_seconds": round(dtv, 1),
+            "verify_cps": round(65536 / dtv, 1),
+            "mix_prove_verify_cps": round(65536 / (dt + dtv), 1),
+        }
+        print(report["mix_verify_2048"])
 
     report["meta"] = {
         "group": "modp2048",

@@ -284,6 +284,80 @@ def _scalar_mul(curve: _Curve, x, y, inf, e, nbits: int):
     return curve.normalize(accX, accY, accZ)
 
 
+def _point_add_dispatch(curve: _Curve, X1, Y1, Z1, X2, Y2, Z2):
+    """Jacobian + Jacobian addition; fused Pallas kernel for 2-D
+    batches on TPU, XLA formulas otherwise.  Returns Jacobian."""
+    ctx = curve.ctx
+    if (
+        mont.use_pallas()
+        and X1.ndim == 2
+        and X1.shape == X2.shape
+        and X1.shape[0] > 0
+    ):
+        info = mont.shard_info(X1, X2)
+        if info is not None:
+            if X1.shape[0] % info[0].size != 0:
+                return curve.point_add(X1, Y1, Z1, X2, Y2, Z2)
+            from vmn_tpu.parallel.mesh import sharded_ec_add
+
+            return sharded_ec_add(
+                X1, Y1, Z1, X2, Y2, Z2, ctx.m_limbs, ctx.mprime, *info
+            )
+        from vmn_tpu.ops.ec_kernels import ec_point_add_pallas
+
+        return ec_point_add_pallas(
+            X1, Y1, Z1, X2, Y2, Z2, ctx.m_limbs, ctx.mprime
+        )
+    return curve.point_add(X1, Y1, Z1, X2, Y2, Z2)
+
+
+def _scalar_mul_dispatch(curve: _Curve, x, y, inf, e, nbits: int):
+    """Scalar multiplication with the fused Pallas kernel on TPU.
+
+    The kernel (ops/ec_kernels.py) keeps the 16-entry multiples table
+    and every field product VMEM-resident — the `vec`-library analogue
+    (reference: SURVEY.md §2.3).  Sharded batches route through the
+    shard_map wrapper; non-TPU and scalar shapes use the XLA ladder.
+    """
+    ctx = curve.ctx
+    if mont.use_pallas() and (x.ndim > 1 or e.ndim > 1):
+        shape = jnp.broadcast_shapes(x.shape[:-1], e.shape[:-1])
+        L = x.shape[-1]
+        x2 = jnp.broadcast_to(x, shape + (L,)).reshape(-1, L)
+        y2 = jnp.broadcast_to(y, shape + (L,)).reshape(-1, L)
+        i2 = jnp.broadcast_to(inf, shape).reshape(-1)
+        e2 = jnp.broadcast_to(e, shape + e.shape[-1:]).reshape(
+            -1, e.shape[-1]
+        )
+        if x2.shape[0] > 0:
+            info = mont.shard_info(x2, e2)
+            if info is not None:
+                if x2.shape[0] % info[0].size != 0:
+                    # sharded but uneven: GSPMD XLA ladder, never the
+                    # raw per-device kernel
+                    return _scalar_mul(curve, x, y, inf, e, nbits)
+                from vmn_tpu.parallel.mesh import sharded_ec_smul
+
+                X, Y, Z = sharded_ec_smul(
+                    x2, y2, i2, e2, ctx.m_limbs, ctx.mprime,
+                    ctx.one_mont, nbits, *info,
+                )
+            else:
+                from vmn_tpu.ops.ec_kernels import ec_scalar_mul_pallas
+
+                X, Y, Z = ec_scalar_mul_pallas(
+                    x2, y2, i2, e2, ctx.m_limbs, ctx.mprime,
+                    ctx.one_mont, nbits,
+                )
+            xo, yo, io = curve.normalize(X, Y, Z)
+            return (
+                xo.reshape(shape + (L,)),
+                yo.reshape(shape + (L,)),
+                io.reshape(shape),
+            )
+    return _scalar_mul(curve, x, y, inf, e, nbits)
+
+
 # ====================================================================
 # Group + element array classes (GArray-compatible surface)
 # ====================================================================
@@ -583,7 +657,9 @@ class ECArray:
         X1, Y1, Z1, X2, Y2, Z2 = (
             jnp.broadcast_to(t, shape) for t in (X1, Y1, Z1, X2, Y2, Z2)
         )
-        x, y, inf = c.normalize(*c.point_add(X1, Y1, Z1, X2, Y2, Z2))
+        x, y, inf = c.normalize(
+            *_point_add_dispatch(c, X1, Y1, Z1, X2, Y2, Z2)
+        )
         return ECArray(self.grp, x, y, inf)
 
     def inv(self) -> "ECArray":
@@ -602,7 +678,7 @@ class ECArray:
     def exp(self, e) -> "ECArray":
         if isinstance(e, int):
             e = self.grp.ring.from_int(e)
-        x, y, inf = _scalar_mul(
+        x, y, inf = _scalar_mul_dispatch(
             self.grp.curve, self.x, self.y, self.inf, e.limbs,
             self.grp.ring.nbits,
         )
@@ -616,7 +692,7 @@ class ECArray:
         from vmn_tpu.arith.limbs import LIMB_BITS
 
         nbits = min(nbits, LIMB_BITS * e.limbs.shape[-1])
-        x, y, inf = _scalar_mul(
+        x, y, inf = _scalar_mul_dispatch(
             self.grp.curve, self.x, self.y, self.inf, e.limbs, nbits
         )
         return ECArray(self.grp, x, y, inf)
@@ -635,8 +711,8 @@ class ECArray:
         while X.shape[0] > 1:
             nel = X.shape[0]
             h = nel // 2
-            aX, aY, aZ = c.point_add(
-                X[:h], Y[:h], Z[:h], X[h : 2 * h], Y[h : 2 * h],
+            aX, aY, aZ = _point_add_dispatch(
+                c, X[:h], Y[:h], Z[:h], X[h : 2 * h], Y[h : 2 * h],
                 Z[h : 2 * h],
             )
             if nel % 2:

@@ -513,15 +513,49 @@ def use_pallas() -> bool:
 
     On the TPU backend the fused kernels are ~8x faster than the XLA
     fallback; on CPU (tests, verifier-only hosts) the portable XLA path
-    runs.  Override with VMN_NO_PALLAS=1.
+    runs.  Override with VMN_NO_PALLAS=1; VMN_FORCE_PALLAS=1 enables
+    the kernel path off-TPU (used with Pallas interpret mode to prove
+    the sharded kernel path on the virtual CPU mesh).
     """
     global _PALLAS_ENABLED
     if _PALLAS_ENABLED is None:
-        _PALLAS_ENABLED = (
-            not os.environ.get("VMN_NO_PALLAS")
-            and jax.default_backend() == "tpu"
-        )
+        if os.environ.get("VMN_FORCE_PALLAS"):
+            _PALLAS_ENABLED = True
+        else:
+            _PALLAS_ENABLED = (
+                not os.environ.get("VMN_NO_PALLAS")
+                and jax.default_backend() == "tpu"
+            )
     return _PALLAS_ENABLED
+
+
+def shard_info(*arrays):
+    """(mesh, axis) when an operand's batch axis is sharded over >1
+    device — the signal to route through the shard_map-wrapped kernels
+    in `parallel.mesh` (per-device Pallas programs cannot be GSPMD-
+    partitioned like plain XLA ops).
+
+    Only concrete (non-traced) 2-D (N, L) operands with axis 0 mapped
+    to a mesh axis count; inside an outer jit the tracers fall back to
+    the caller's path.
+    """
+    from jax.sharding import NamedSharding
+
+    for a in arrays:
+        if isinstance(a, jax.core.Tracer) or not isinstance(a, jax.Array):
+            continue
+        sh = getattr(a, "sharding", None)
+        if not isinstance(sh, NamedSharding) or sh.mesh.size <= 1:
+            continue
+        if a.ndim < 2 or len(sh.spec) < 1 or sh.spec[0] is None:
+            continue
+        ax = sh.spec[0]
+        if isinstance(ax, tuple):
+            if len(ax) != 1:
+                continue
+            ax = ax[0]
+        return sh.mesh, ax
+    return None
 
 
 def _flatten_pair(a, e, L):
@@ -607,6 +641,19 @@ class MontCtx:
 
     def mul(self, a, b):
         if use_pallas() and (a.ndim > 1 or b.ndim > 1):
+            info = shard_info(a, b)
+            if info is not None:
+                shape, a2, b2 = _flatten_pair(a, b, self.L)
+                if a2.shape[0] > 0 and a2.shape[0] % info[0].size == 0:
+                    from vmn_tpu.parallel import mesh as pmesh
+
+                    out = pmesh.sharded_mul(
+                        a2, b2, self.m_limbs, self.mprime, *info, True
+                    )
+                    return out.reshape(shape + (self.L,))
+                # sharded but not evenly divisible: GSPMD-partitioned
+                # XLA path (never the raw per-device kernel)
+                return mont_mul(a, b, self.m_limbs, self.mprime)
             from vmn_tpu.ops.mont_kernels import mont_mul_pallas
 
             shape, a2, b2 = _flatten_pair(a, b, self.L)
@@ -627,14 +674,29 @@ class MontCtx:
     def exp(self, base, e, nbits: Optional[int] = None):
         nbits = self.nbits if nbits is None else nbits
         if use_pallas():
-            from vmn_tpu.ops.mont_kernels import mont_exp_pallas
-
             if base.ndim == 1 and e.ndim > 1:
                 # shared base: route to the fixed-base kernel (no
                 # squarings) when the base is host-known
                 bi = self.known_int(base)
                 if bi is not None:
                     return self.exp_fixed(bi, e, nbits)
+            info = shard_info(base, e)
+            if info is not None:
+                shape, b2, e2 = _flatten_pair(base, e, self.L)
+                if b2.shape[0] > 0 and b2.shape[0] % info[0].size == 0:
+                    from vmn_tpu.parallel import mesh as pmesh
+
+                    out = pmesh.sharded_exp(
+                        b2, e2, self.m_limbs, self.mprime, self.one_mont,
+                        nbits, *info, True,
+                    )
+                    return out.reshape(shape + (self.L,))
+                return mont_exp(
+                    base, e, self.m_limbs, self.mprime, self.one_mont,
+                    nbits,
+                )
+            from vmn_tpu.ops.mont_kernels import mont_exp_pallas
+
             shape, b2, e2 = _flatten_pair(base, e, self.L)
             if b2.shape[0] > 0:
                 out = mont_exp_pallas(
@@ -647,6 +709,20 @@ class MontCtx:
 
     def expprod(self, bases, e, nbits: Optional[int] = None):
         nbits = self.nbits if nbits is None else nbits
+        if use_pallas() and bases.ndim == 2 and e.ndim == 2:
+            info = shard_info(bases, e)
+            if info is not None:
+                if bases.shape[0] % info[0].size == 0:
+                    from vmn_tpu.parallel import mesh as pmesh
+
+                    return pmesh.sharded_exp_prod(
+                        bases, e, self.m_limbs, self.mprime,
+                        self.one_mont, nbits, *info, True,
+                    )
+                return _expprod_shared(
+                    bases, e, self.m_limbs, self.mprime, self.one_mont,
+                    nbits, False,
+                )
         if bases.ndim == 2 and e.ndim == 2 and bases.shape[0] >= 16:
             # Shared-squaring Straus multi-exp: ~4-5x fewer products
             # than per-element exp + product tree.
@@ -665,6 +741,19 @@ class MontCtx:
         """Product over `axis` — one compiled tree program."""
         if axis != 0:
             x = jnp.moveaxis(x, axis, 0)
+        if use_pallas() and x.ndim == 2:
+            info = shard_info(x)
+            if info is not None:
+                if x.shape[0] % info[0].size == 0:
+                    from vmn_tpu.parallel import mesh as pmesh
+
+                    return pmesh.sharded_prod(
+                        x, self.m_limbs, self.mprime, self.one_mont,
+                        *info, True,
+                    )
+                return _prod_tree(
+                    x, self.m_limbs, self.mprime, self.one_mont, False
+                )
         return _prod_tree(
             x,
             self.m_limbs,
@@ -675,12 +764,39 @@ class MontCtx:
 
     def prods_scan(self, x):
         """Inclusive cumulative product over axis 0 (Montgomery form)."""
+        if use_pallas() and x.ndim == 2:
+            info = shard_info(x)
+            if info is not None:
+                if x.shape[0] % info[0].size == 0:
+                    from vmn_tpu.parallel import mesh as pmesh
+
+                    return pmesh.sharded_prods_scan(
+                        x, self.m_limbs, self.mprime, self.one_mont,
+                        *info, True,
+                    )
+                return _prods_scan(
+                    x, self.m_limbs, self.mprime, self.one_mont, False
+                )
         return _prods_scan(
             x, self.m_limbs, self.mprime, self.one_mont, use_pallas()
         )
 
     def rec_lin(self, mult_mont, add_std):
         """x_i = x_{i-1}·e_i + b_i scan; returns standard-form (N, L)."""
+        if use_pallas() and mult_mont.ndim == 2:
+            info = shard_info(mult_mont, add_std)
+            if info is not None:
+                if mult_mont.shape[0] % info[0].size == 0:
+                    from vmn_tpu.parallel import mesh as pmesh
+
+                    return pmesh.sharded_rec_lin(
+                        mult_mont, add_std, self.m_limbs, self.mprime,
+                        self.one_mont, *info, True,
+                    )
+                return _rec_lin_scan(
+                    mult_mont, add_std, self.m_limbs, self.mprime,
+                    self.one_mont, False,
+                )
         return _rec_lin_scan(
             mult_mont, add_std, self.m_limbs, self.mprime, self.one_mont,
             use_pallas(),
@@ -690,6 +806,12 @@ class MontCtx:
         """Modular sum over `axis` — one compiled tree program."""
         if axis != 0:
             x = jnp.moveaxis(x, axis, 0)
+        if x.ndim == 2:
+            info = shard_info(x)
+            if info is not None and x.shape[0] % info[0].size == 0:
+                from vmn_tpu.parallel import mesh as pmesh
+
+                return pmesh.sharded_sum(x, self.m_limbs, *info)
         return _sum_tree(x, self.m_limbs)
 
     def reduce_std(self, wide):
@@ -781,6 +903,24 @@ class MontCtx:
         if use_pallas():
             shape = e.shape[:-1]
             e2 = e.reshape(-1, e.shape[-1])
+            info = shard_info(e2)
+            if info is not None and (
+                e2.shape[0] == 0 or e2.shape[0] % info[0].size != 0
+            ):
+                return self.fixed_base_exp(base_int, e, nbits)
+            if info is not None:
+                from vmn_tpu.parallel import mesh as pmesh
+
+                window = 8 if nbits >= 512 else 4
+                if window == 8:
+                    table = self.fixed_base_table(base_int, nbits, 8)
+                else:
+                    table = self.fb_table_pallas(base_int, nbits)
+                out = pmesh.sharded_fb_exp(
+                    table, e2, self.m_limbs, self.mprime, self.one_mont,
+                    window, *info, True,
+                )
+                return out.reshape(shape + (self.L,))
             if e2.shape[0] > 0:
                 if nbits >= 512:
                     # Window-8 kernel: half the products of window 4;

@@ -27,6 +27,7 @@ Two layers:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -37,6 +38,18 @@ from vmn_tpu.arith.limbs import LIMB_BITS, LIMB_MASK
 
 TILE_N = 256  # batch lanes per grid step (multiple of 128)
 _WINDOW = 4  # fixed window size; 16-entry table
+
+# Run the kernels through the basic Pallas interpreter (plain JAX ops)
+# instead of Mosaic.  Used by CPU tests of the SHARDED kernel path:
+# unlike `pltpu.force_tpu_interpret_mode()`, the basic interpreter has
+# no per-device shared-state callbacks and composes with `shard_map`
+# over a multi-device mesh.  Read at TRACE time — set it (env
+# VMN_PALLAS_INTERPRET=1 or monkeypatch) before the first kernel call.
+INTERPRET = bool(os.environ.get("VMN_PALLAS_INTERPRET", ""))
+
+
+def _pallas_call(kernel, **kw):
+    return pl.pallas_call(kernel, interpret=INTERPRET, **kw)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -186,7 +199,7 @@ def mont_mul_pallas(a, b, m, mprime):
     tn = min(TILE_N, _round_up(N, 128))
     mp2 = jnp.asarray(mprime, jnp.uint32).reshape(1, 1)
     m_col = jnp.broadcast_to(m.reshape(L, 1), (L, tn))
-    out_t = pl.pallas_call(
+    out_t = _pallas_call(
         _mont_mul_kernel,
         grid=(pl.cdiv(N, tn),),
         in_specs=[
@@ -447,7 +460,7 @@ def mont_fb8_exp_pallas(table, e, m, mprime, one_mont, tile_n=None):
     m_col = jnp.broadcast_to(m.reshape(L, 1), (L, tn))
     one_col = jnp.broadcast_to(one_mont.reshape(L, 1), (L, tn))
     kernel = functools.partial(_mont_fb8_kernel, ndig)
-    out_t = pl.pallas_call(
+    out_t = _pallas_call(
         kernel,
         grid=(pl.cdiv(N, tn),),
         in_specs=[
@@ -493,7 +506,7 @@ def mont_fb_exp_pallas(table, e, m, mprime, one_mont, tile_n=None):
     kernel = functools.partial(_mont_fb_kernel, ndig)
     W = 1 << _WINDOW
     R = ndig * W
-    out_t = pl.pallas_call(
+    out_t = _pallas_call(
         kernel,
         grid=(pl.cdiv(N, tn),),
         in_specs=[
@@ -537,7 +550,7 @@ def mont_exp_pallas(base, e, m, mprime, one_mont, nbits: int, tile_n=None):
     m_col = jnp.broadcast_to(m.reshape(L, 1), (L, tn))
     one_col = jnp.broadcast_to(one_mont.reshape(L, 1), (L, tn))
     kernel = functools.partial(_mont_exp_kernel, ndig)
-    out_t = pl.pallas_call(
+    out_t = _pallas_call(
         kernel,
         grid=(pl.cdiv(N, tn),),
         in_specs=[

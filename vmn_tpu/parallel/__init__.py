@@ -8,8 +8,12 @@ partials with a collective.  Inter-*party* communication never uses
 collectives (trust boundary) — only intra-party scale-out does.
 """
 
-from vmn_tpu.parallel.shard import (  # noqa: F401
+from vmn_tpu.parallel.mesh import (  # noqa: F401
+    ciph_mesh,
     make_mesh,
+    replicate,
+    shard_array,
     shard_garray,
+    shard_limbs,
     sharded_exp_prod,
 )
