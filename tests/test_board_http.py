@@ -140,3 +140,35 @@ def test_board_persists_across_restart(tmp_path):
         assert b2.wait_for(1, "Durable") == b"payload-1"
     finally:
         b2.shutdown()
+
+
+def test_store_scope_pruning(tmp_path):
+    """`vmn -delete` prunes a session's board spool: messages under the
+    deleted scope disappear from disk and memory; other scopes stay
+    (reference: MixNetElGamalSession.deleteState:136-150)."""
+    from vmn_tpu.protocol.com.http import _Store
+
+    st = _Store(tmp_path / "spool")
+    st.put("session.aux/shuffle/Ciphertext1", b"a" * 10)
+    st.put("session.other/shuffle/Ciphertext1", b"b" * 10)
+    st.put("toplevel", b"c")
+    st.delete_scope("session.aux")
+    assert st.get("session.aux/shuffle/Ciphertext1") is None
+    assert st.get("session.other/shuffle/Ciphertext1") == b"b" * 10
+    assert st.get("toplevel") == b"c"
+    # restart from the same spool: deletion is durable
+    st2 = _Store(tmp_path / "spool")
+    assert st2.get("session.aux/shuffle/Ciphertext1") is None
+    assert st2.get("session.other/shuffle/Ciphertext1") == b"b" * 10
+
+
+def test_local_board_scope_pruning():
+    from vmn_tpu.protocol.com.board import LocalBoardHub
+
+    hub = LocalBoardHub(2)
+    b1 = hub.board(1)
+    b1.scope("session.aux").publish("X", b"1")
+    b1.scope("session.keep").publish("X", b"2")
+    b1.delete_scope("session.aux")
+    assert (1, "session.keep/X") in hub._messages
+    assert (1, "session.aux/X") not in hub._messages

@@ -281,9 +281,20 @@ def main():
     if path.exists():
         report = json.loads(path.read_text())
 
+    def _flush():
+        report["meta"] = {
+            "group": "modp2048",
+            "device": str(jax.devices()[0]),
+            "note": "single chip over the dev tunnel; host<->device "
+                    "transfer rides the tunnel and is much faster on a "
+                    "real TPU host",
+        }
+        path.write_text(json.dumps(report, indent=1) + "\n")
+
     if "micro" in sections:
         report["micro"] = bench_micro()
         print(json.dumps({"micro": report["micro"]}, indent=1))
+        _flush()
 
     if "lengths" in sections:
         rows = []
@@ -293,6 +304,7 @@ def main():
                          "seconds": round(dt, 1)})
             print(rows[-1])
         report["mix_lengths"] = rows
+        _flush()
 
     if "parties" in sections:
         rows = []
@@ -302,6 +314,7 @@ def main():
                          "seconds": round(dt, 1)})
             print(rows[-1])
         report["mix_parties"] = rows
+        _flush()
 
     if "widths" in sections:
         rows = []
@@ -311,6 +324,7 @@ def main():
                          "seconds": round(dt, 1)})
             print(rows[-1])
         report["mix_widths"] = rows
+        _flush()
 
     if "p256" in sections:
         cps, dt, dtv = _mix_once(16384, group_name="P-256",
@@ -321,6 +335,7 @@ def main():
             "verify_cps": round(16384 / dtv, 1),
         }
         print(report["mix_p256"])
+        _flush()
 
     if "verify" in sections:
         cps, dt, dtv = _mix_once(65536, time_verify=True)
@@ -331,15 +346,9 @@ def main():
             "mix_prove_verify_cps": round(65536 / (dt + dtv), 1),
         }
         print(report["mix_verify_2048"])
+        _flush()
 
-    report["meta"] = {
-        "group": "modp2048",
-        "device": str(jax.devices()[0]),
-        "note": "single chip over the dev tunnel; host<->device "
-                "transfer rides the tunnel and is much faster on a "
-                "real TPU host",
-    }
-    path.write_text(json.dumps(report, indent=1) + "\n")
+    _flush()
     print(f"wrote {path}")
 
 

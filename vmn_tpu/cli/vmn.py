@@ -192,6 +192,10 @@ def _run(p, args) -> int:
             shutil.rmtree(sub)
         if party.state is not None:
             party.state.sub(f"session.{args.auxsid}").delete()
+        # Prune the session's board spool too (reference:
+        # MixNetElGamalSession.deleteState:136-150).
+        if hasattr(party.board, "delete_scope"):
+            party.board.delete_scope(f"session.{args.auxsid}")
         print(f"deleted session state for auxsid {args.auxsid!r}")
         return 0
 

@@ -85,6 +85,11 @@ class CoinFlipPRingSource:
         self.hom = _HomGroup(base, h)
         self._prepared = []  # list of SequentialResult
         self._counter = 0
+        # When set, the first collect tops the prepared pool up to this
+        # many coins in one dealing burst (reference: prepareCoins,
+        # CoinFlipPRingSource.java:153).  Identical on every party, so
+        # the dealing schedule stays in lockstep.
+        self.pre_target = 0
 
     # ------------------------------------------------------------ prepare
 
@@ -112,55 +117,83 @@ class CoinFlipPRingSource:
     # ------------------------------------------------------------ collect
 
     def _collect(self):
-        """Recover one prepared coin: all parties open their collapsed
-        shares; any `threshold` Feldman-valid shares reconstruct
-        (reference: CoinFlipPRing.getCoin -> pedersen.recover)."""
-        from vmn_tpu.eio.bytetree import ByteTree, ByteTreeError
+        """Recover one prepared coin (see _collect_many)."""
+        return self._collect_many(1)[0]
+
+    def _collect_many(self, ncoins: int):
+        """Recover `ncoins` prepared coins in ONE board round: every
+        party opens ALL its collapsed shares in a single message; any
+        `threshold` Feldman-valid shares reconstruct each coin
+        (reference: CoinFlipPRing.getCoin -> pedersen.recover;
+        the per-batch round amortizes the open exchange the way
+        prepareCoins amortizes dealing, CoinFlipPRingSource.java:
+        153-232)."""
+        from vmn_tpu.eio.bytetree import ByteTree, ByteTreeError, node
         from vmn_tpu.protocol.distr.dkg import evaluate_poly_in_exp
         from vmn_tpu.protocol.secretsharing.shamir import shamir_recover
 
-        if not self._prepared:
-            self.prepare_coins(1)
-        cid, seq = self._prepared.pop(0)
-        b = self.board.scope(f"open{cid:03d}")
+        want = max(ncoins, self.pre_target)
+        self.pre_target = 0  # one pre-dealt burst per session
+        if len(self._prepared) < want:
+            self.prepare_coins(want - len(self._prepared))
+        batch = [self._prepared.pop(0) for _ in range(ncoins)]
+        b = self.board.scope(f"open{batch[0][0]:03d}x{ncoins:03d}")
         t = self.ctx.par.threshold
         ring = self.hom.ring
 
-        share_bytes = seq.share.to_bytetree().to_bytes()
-        b.publish("Share", share_bytes)
-        shares = {}
+        my_bytes = node(
+            *[seq.share.to_bytetree() for _, seq in batch]
+        ).to_bytes()
+        b.publish("Shares", my_bytes)
+        shares = [dict() for _ in batch]
         for l in range(1, self.board.k + 1):
-            raw = share_bytes if l == self.board.j else b.wait_for(
-                l, "Share"
+            if all(len(s) >= t for s in shares):
+                break
+            raw = my_bytes if l == self.board.j else b.wait_for(
+                l, "Shares"
             )
             try:
-                s = ring.from_bytetree(ByteTree.from_bytes(raw))
+                bt = ByteTree.from_bytes(raw)
+                kids = list(bt.children)
             except (ByteTreeError, ValueError):
                 continue
-            if self.hom.g.exp(s).equals(
-                evaluate_poly_in_exp(seq.poly_in_exp, l)
-            ):
-                shares[l] = s
-            if len(shares) == t:
-                break
-        if len(shares) < t:
-            raise CoinFlipError("fewer than threshold valid coin shares")
-        pair = shamir_recover(ring, shares, t)
-        return pair.components[0]  # project(0), reference getCoin
+            if len(kids) != ncoins:
+                continue
+            for i, (cid, seq) in enumerate(batch):
+                if len(shares[i]) >= t:
+                    continue
+                try:
+                    s = ring.from_bytetree(kids[i])
+                except (ByteTreeError, ValueError):
+                    continue
+                if self.hom.g.exp(s).equals(
+                    evaluate_poly_in_exp(seq.poly_in_exp, l)
+                ):
+                    shares[i][l] = s
+        out = []
+        for i in range(ncoins):
+            if len(shares[i]) < t:
+                raise CoinFlipError(
+                    "fewer than threshold valid coin shares"
+                )
+            pair = shamir_recover(ring, shares[i], t)
+            out.append(pair.components[0])  # project(0), ref getCoin
+        return out
 
     def coin_bytes(self, n: int) -> bytes:
         """Concatenate recovered ring coins into n bytes.
 
         Each coin yields floor((qbits - rbitlen)/8) bytes to keep the
         statistical distance bound (reference: getCoinBytes
-        CoinFlipPRingSource.java:232)."""
+        CoinFlipPRingSource.java:232).  All coins for the request are
+        recovered in one batched open round."""
         q = self.ctx.pgroup.ring.q
         per = max(1, (q.bit_length() - self.ctx.rbitlen) // 8)
+        qbytes = (q.bit_length() + 7) // 8
+        ncoins = -(-n // per)
         out = b""
-        while len(out) < n:
-            coin = self._collect()
-            val = coin.to_int()
-            out += val.to_bytes((q.bit_length() + 7) // 8, "big")[-per:]
+        for coin in self._collect_many(ncoins):
+            out += coin.to_int().to_bytes(qbytes, "big")[-per:]
         return out[:n]
 
     def coin_int(self, nbits: int) -> int:

@@ -65,6 +65,11 @@ class LocalBoardHub:
         with self._cond:
             key = (j, label)
             if key in self._messages:
+                # Idempotent-put: a restarted party replaying identical
+                # bytes resumes; a DIFFERENT payload is equivocation and
+                # is refused (matches the HTTP board semantics).
+                if self._messages[key] == bytes(data):
+                    return
                 raise BoardError(f"duplicate publish: party {j} {label!r}")
             self._messages[key] = bytes(data)
             self._cond.notify_all()
@@ -80,6 +85,16 @@ class LocalBoardHub:
                     )
                 self._cond.wait(remaining)
             return self._messages[(l, label)]
+
+    def delete_scope(self, prefix: str) -> None:
+        """Prune every message under a scope prefix (bounds growth of a
+        long-lived hub across many sessions)."""
+        with self._cond:
+            for key in [
+                key for key in self._messages
+                if key[1].startswith(prefix + "/")
+            ]:
+                del self._messages[key]
 
     def board(self, j: int) -> "LocalBoard":
         return LocalBoard(self, j, "")
@@ -115,6 +130,9 @@ class LocalBoard(BulletinBoard):
         child = LocalBoard(self.hub, self.j, f"{self.prefix}{sid}/")
         child._parent = self
         return child
+
+    def delete_scope(self, sid: str) -> None:
+        self.hub.delete_scope(f"{self.prefix}{sid}")
 
     # propagate accounting up the scope chain
     def _account(self, sent: int, received: int, waited: float):

@@ -61,8 +61,31 @@ class _Store:
 
     def _path(self, label: str):
         import hashlib
+        from urllib.parse import quote
 
+        head, _, rest = label.partition("/")
+        if rest:
+            # one spool subdirectory per top-level scope (e.g.
+            # "session.<auxsid>") so `vmn -delete` can prune a whole
+            # session's spool (reference:
+            # MixNetElGamalSession.deleteState:136-150)
+            sub = self._dir / quote(head, safe="")
+            sub.mkdir(parents=True, exist_ok=True)
+            return sub / hashlib.sha256(rest.encode()).hexdigest()
         return self._dir / hashlib.sha256(label.encode()).hexdigest()
+
+    def delete_scope(self, prefix: str):
+        """Remove every message whose label lives under `prefix`."""
+        import shutil
+        from urllib.parse import quote
+
+        with self._lock:
+            for k in [k for k in self._data if k.startswith(prefix + "/")]:
+                del self._data[k]
+            if self._dir is not None:
+                sub = self._dir / quote(prefix, safe="")
+                if sub.exists():
+                    shutil.rmtree(sub)
 
     def put(self, label: str, blob: bytes):
         with self._lock:
@@ -267,6 +290,12 @@ class HTTPBulletinBoard(BulletinBoard):
             0, len(data), time.monotonic() - t0 - net, network=net
         )
         return data
+
+    def delete_scope(self, sid: str) -> None:
+        """Remove OWN published messages under a session scope — the
+        board half of `vmn -delete` (reference:
+        MixNetElGamalSession.deleteState:136-150)."""
+        self._root()._store.delete_scope(f"{self.prefix}{sid}")
 
     def scope(self, sid: str) -> "HTTPBulletinBoard":
         child = HTTPBulletinBoard.__new__(HTTPBulletinBoard)

@@ -299,6 +299,33 @@ class MixSession:
         self.width = width
         self.ctx = party.ctx.session(auxsid)
         self.board = party.board.scope(f"session.{auxsid}")
+        self.state = (
+            party.state.sub(f"session.{auxsid}")
+            if party.state is not None
+            else None
+        )
+        # Session randomness is drawn from a dedicated source seeded by
+        # a PERSISTED secret: a crashed party restarted with any random
+        # source regenerates identical contributions (re-encryption
+        # exponents, permutation, prover blinders, coin dealings), so
+        # its republished bytes match and the board's idempotent-put
+        # turns replay into resume (reference: every generated secret
+        # is cached on disk — PermutationCommitment.java:156-218,
+        # ShufflerElGamalSession.java:548-663, DKG.java:147-175).
+        if self.state is not None:
+            from vmn_tpu.crypto.randomsource import SeededSource
+
+            seed_file = self.state.file("session_seed")
+            if seed_file.exists():
+                seed = seed_file.read_bytes()
+            else:
+                seed = party.rs.read_bytes(32)
+                self.state.path.mkdir(parents=True, exist_ok=True)
+                seed_file.touch(mode=0o600)
+                seed_file.write_bytes(seed)
+            self.rs = SeededSource(seed)
+        else:
+            self.rs = party.rs
         if not party.par.noninteractive:
             # Interactive mode: challenges are jointly flipped coins
             # (reference: ChallengerI.java:53-60; selected by the
@@ -308,18 +335,25 @@ class MixSession:
                 CoinFlipPRingSource,
             )
 
-            self.ctx.challenger = ChallengerI(
-                CoinFlipPRingSource(
-                    self.ctx, self.board.scope("coins"), party.rs,
-                    cipher=party.cipher,
-                )
+            source = CoinFlipPRingSource(
+                self.ctx, self.board.scope("coins"), self.rs,
+                cipher=party.cipher,
             )
+            # Pre-deal the coins an entire mix is expected to consume
+            # (k PoS proofs + decryption, each one PRG seed + one
+            # challenge): the first challenge triggers one batched
+            # dealing burst, and every challenge costs a single open
+            # round (reference: prepareCoins during idle time,
+            # CoinFlipPRingSource.java:153-232).  Deferred to first
+            # use so constructing a session stays network-free.
+            q = self.ctx.pgroup.ring.q
+            per = max(1, (q.bit_length() - party.par.rbitlen) // 8)
+            seed_b = 32
+            v_b = (party.par.vbitlen + 7) // 8
+            per_proof = -(-seed_b // per) + -(-v_b // per)
+            source.pre_target = (party.k + 1) * per_proof
+            self.ctx.challenger = ChallengerI(source)
         self.nizkp = nizkp
-        self.state = (
-            party.state.sub(f"session.{auxsid}")
-            if party.state is not None
-            else None
-        )
         self._precomp: Optional[_PrecompState] = None
         self.proofs = nizkp / "proofs" if nizkp else None
         if nizkp is not None:
@@ -389,7 +423,7 @@ class MixSession:
 
         # Raised values: verifier-local CCPoS speedup
         # (reference: raisedGenerators :475-510, RAISED_BITLENGTH=50).
-        raised_exp = field.from_int(party.rs.random_int(50))
+        raised_exp = field.from_int(self.rs.random_int(50))
         raised_generators = generators.exp_bits(raised_exp, 64)
 
         pos_par = PoSParams(ctx.vbitlen, ctx.ebitlen, ctx.rbitlen, ctx.prg)
@@ -398,8 +432,8 @@ class MixSession:
         st = _PrecompState(maxciph, generators, raised_generators,
                            raised_exp, active_threshold)
         if self.j <= active_threshold and party.active[self.j]:
-            st.exponents = field.random((maxciph,), party.rs, ctx.rbitlen)
-            st.permutation = Permutation.random(maxciph, party.rs)
+            st.exponents = field.random((maxciph,), self.rs, ctx.rbitlen)
+            st.permutation = Permutation.random(maxciph, self.rs)
             identity_commitment = generators.mul(g.exp(st.exponents))
             st.commitments[self.j] = identity_commitment.permute(
                 st.permutation
@@ -414,7 +448,7 @@ class MixSession:
                 u_bt = u.to_bytetree()
                 b.publish(f"PermutationCommitment{l}", u_bt.to_bytes())
                 self._export(self._pf("PermutationCommitment", l), u_bt)
-                P = PoSCProver(pos_par, party.rs)
+                P = PoSCProver(pos_par, self.rs)
                 P.set_instance(g, generators, u, st.exponents,
                                st.permutation)
                 seed = ctx.challenger.challenge(
@@ -476,7 +510,7 @@ class MixSession:
         if self.j <= active_threshold and party.active[self.j]:
             plain_ring = _plain_ring_of(ctx, self.width)
             st.reenc_exponents = plain_ring.random(
-                (maxciph,), party.rs, ctx.rbitlen
+                (maxciph,), self.rs, ctx.rbitlen
             )
             wide_pk = party.full_public_key().widen(self.width)
             st.reenc_factors = elgamal.reencryption_factors(
@@ -682,7 +716,7 @@ class MixSession:
                 party.log.child().info(
                     "Re-encrypt, permute and prove (CCPoS)."
                 )
-                P = CCPoSProver(pos_par, party.rs)
+                P = CCPoSProver(pos_par, self.rs)
                 P.set_instance(
                     g, st.generators, st.commitments[l], wide_pk_elem,
                     inp, out, st.exponents, st.permutation,
@@ -844,13 +878,13 @@ class MixSession:
         reenc_exponents = None
         reenc_factors = None
         if self.j <= active_threshold and party.active[self.j]:
-            reenc_exponents = plain_ring.random((n,), party.rs, ctx.rbitlen)
+            reenc_exponents = plain_ring.random((n,), self.rs, ctx.rbitlen)
             wide_pk = party.full_public_key().widen(width)
             reenc_factors = elgamal.reencryption_factors(
                 wide_pk, reenc_exponents
             )
-            permutation = Permutation.random(n, party.rs)
-            prover = PoSProver(pos_par, party.rs)
+            permutation = Permutation.random(n, self.rs)
+            prover = PoSProver(pos_par, self.rs)
             prover.precompute(g, generators, permutation)
 
         # Sequential chain over parties, with optimistic own-output
@@ -1097,7 +1131,7 @@ class MixSession:
         A = u.exp_prod(e, ctx.ebitlen)
 
         # --- commitments: yp = g^r, Bp = A^r ---------------------------
-        r = key_ring.random((), party.rs, ctx.rbitlen)
+        r = key_ring.random((), self.rs, ctx.rbitlen)
         yp_own = g_basic.exp(r)
         Bp_own = A.exp(r)
         com_own = node(yp_own.to_bytetree(), Bp_own.to_bytetree())
