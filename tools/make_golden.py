@@ -37,8 +37,7 @@ TV_NAMES = [
 ]
 
 
-def generate(outdir: Path):
-    from vmn_tpu.arith.pgroup import ModPGroup
+def generate(outdir: Path, group_name: str = "test256"):
     from vmn_tpu.crypto.randomsource import SeededSource
     from vmn_tpu.protocol import elgamal
     from vmn_tpu.protocol.com.board import LocalBoardHub
@@ -46,7 +45,19 @@ def generate(outdir: Path):
     from vmn_tpu.protocol.mixnet.party import MixNetParty
     from vmn_tpu.protocol.mixnet.verifier import FiatShamirVerifier
 
-    group = ModPGroup.named("test256")
+    if group_name.startswith("P-"):
+        # Reference-anchored fixture over the reference's DEFAULT
+        # benchmark group (reference: demo/mixnet/benchmarks/
+        # bench_config:33-45 names P-256).
+        from vmn_tpu.arith.ec import ECqPGroup
+
+        group = ECqPGroup.named(group_name)
+        n = 3
+    else:
+        from vmn_tpu.arith.pgroup import ModPGroup
+
+        group = ModPGroup.named(group_name)
+        n = 5
     params = ProtocolParams(sid="Golden", k=1, threshold=1, pgroup=group)
 
     hub = LocalBoardHub(1)
@@ -55,14 +66,18 @@ def generate(outdir: Path):
     )
     pk = party.keygen()
 
-    msgs = [group.encode_message(f"{i:08d}".encode()) for i in range(5)]
-    m = group.from_ints(msgs)
-    r = group.ring.random((5,), SeededSource(b"golden-ciphs"), 0)
+    msgs = [group.encode_message(f"{i:08d}".encode()) for i in range(n)]
+    if hasattr(group, "from_affine"):
+        m = group.from_affine(msgs)
+    else:
+        m = group.from_ints(msgs)
+    r = group.ring.random((n,), SeededSource(b"golden-ciphs"), 0)
     ciphs = elgamal.encrypt(pk, m, r)
 
     session = party.session("golden", 1)
     out = session.mix(ciphs)
-    assert sorted(out.to_ints()) == sorted(msgs)
+    got = out.to_affine() if hasattr(out, "to_affine") else out.to_ints()
+    assert sorted(got) == sorted(msgs)
 
     nizkp = outdir / "nizkp.golden"
     v = FiatShamirVerifier(params, nizkp, test_vectors=TV_NAMES)
@@ -71,20 +86,27 @@ def generate(outdir: Path):
     return nizkp, v.tv
 
 
+FIXTURES = {
+    "test256": ("nizkp_test256_k1", "test_vectors.json"),
+    "P-256": ("nizkp_p256_k1", "test_vectors_p256.json"),
+}
+
+
 def main():
     import tempfile
 
-    with tempfile.TemporaryDirectory() as tmp:
-        nizkp, tv = generate(Path(tmp))
-        dest = GOLDEN / "nizkp_test256_k1"
-        if dest.exists():
-            shutil.rmtree(dest)
-        dest.parent.mkdir(parents=True, exist_ok=True)
-        shutil.copytree(nizkp, dest)
-        (GOLDEN / "test_vectors.json").write_text(
-            json.dumps(tv, indent=1, sort_keys=True) + "\n"
-        )
-    print(f"wrote {dest} and test_vectors.json ({len(tv)} vectors)")
+    for group_name, (dirname, tvname) in FIXTURES.items():
+        with tempfile.TemporaryDirectory() as tmp:
+            nizkp, tv = generate(Path(tmp), group_name)
+            dest = GOLDEN / dirname
+            if dest.exists():
+                shutil.rmtree(dest)
+            dest.parent.mkdir(parents=True, exist_ok=True)
+            shutil.copytree(nizkp, dest)
+            (GOLDEN / tvname).write_text(
+                json.dumps(tv, indent=1, sort_keys=True) + "\n"
+            )
+        print(f"wrote {dest} and {tvname} ({len(tv)} vectors)")
 
 
 if __name__ == "__main__":

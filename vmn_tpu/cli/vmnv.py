@@ -12,6 +12,75 @@ from __future__ import annotations
 import argparse
 import sys
 
+# Verbatim test-vector descriptions of the reference verifier
+# (reference: MixNetElGamalVerifyFiatShamirTool.java:85-225
+# VALID_TEST_VECTOR_NAMES) so `-t` output blocks match the
+# `TEST VECTOR\n<name> - <description>\n<value>` format an external
+# checker of the Verificatum verifier spec expects.
+TV_DESCRIPTIONS = {
+    "par": "Parameters.",
+    "par.version": "Version.",
+    "par.sid": "Session identifier of mix-net.",
+    "par.k": "Number of mix-servers.",
+    "par.lambda": "Threshold number of parties needed to decrypt.",
+    "par.n_e": "Bit length of components in random vectors used for "
+               "batching.",
+    "par.n_r": "Bit length of random paddings.",
+    "par.n_v": "Bit length of challenges.",
+    "par.s_PRG": "Description of PRG used for batching.",
+    "par.s_Gq": "Description of underlying group.",
+    "par.s_H": "Description of hash function used to implement random "
+               "oracles.",
+    "par.omega": "Width of ciphertexts.",
+    "par.N_0": "Number of ciphertexts for which precomputation is done.",
+    "der": "Derived values.",
+    "der.rho": "Derived prefix bytes to all random oracle queries.",
+    "bas": "Basic inputs.",
+    "bas.pk": "Joint public key.",
+    "bas.y_l": "Public keys of threshold number of mix-servers.",
+    "bas.x_l": "Secret keys of some mix-servers (null if a key is not "
+               "present).",
+    "bas.M_omega": "Space of plaintexts.",
+    "bas.R_omega": "Space of randomness.",
+    "bas.C_omega": "Space of ciphertexts.",
+    "bas.h": "Independent generators.",
+    "bas.L_0": "Original list of ciphertexts.",
+    "bas.L_l": "Intermediate list of ciphertexts.",
+    "u": "Permutation commitment.",
+    "PoSC": "Proof of shuffle of commitments.",
+    "PoSC.s": "PoSC. Seed to derive batching vector in hexadecimal "
+              "notation.",
+    "PoSC.v": "PoSC. Integer challenge in hexadecimal notation.",
+    "CCPoS": "Commitment-consistent proof of a shuffle.",
+    "CCPoS.s": "CCPoS. Seed to derive batching vector in hexadecimal "
+               "notation.",
+    "CCPoS.v": "CCPoS. Integer challenge in hexadecimal notation.",
+    "PoS": "All test vectors for proofs of shuffles.",
+    "PoS.s": "PoS. Seed to derive batching vector in hexadecimal "
+             "notation.",
+    "PoS.v": "PoS. Integer challenge in hexadecimal notation.",
+    "PoS.A": "PoS. Batched permutation commitment.",
+    "PoS.F": "PoS. Batched input ciphertexts.",
+    "PoS.B": "PoS. Commitment components.",
+    "PoS.C": "PoS. Derived intermediate values.",
+    "PoS.D": "PoS. Derived intermediate values.",
+    "PoS.Ap": "PoS. Commitment components.",
+    "PoS.Bp": "PoS. Commitment components.",
+    "PoS.Cp": "PoS. Commitment components.",
+    "PoS.Dp": "PoS. Commitment components.",
+    "PoS.Fp": "PoS. Commitment components.",
+    "PoS.k_A": "PoS. Reply components.",
+    "PoS.k_B": "PoS. Reply components.",
+    "PoS.k_C": "PoS. Reply components.",
+    "PoS.k_D": "PoS. Reply components.",
+    "PoS.k_E": "PoS. Reply components.",
+    "PoS.k_F": "PoS. Reply components.",
+    "Dec": "Proof of correct decryption.",
+    "Dec.s": "Dec. Seed to derive batching vector in hexadecimal "
+             "notation.",
+    "Dec.v": "Dec. Integer challenge in hexadecimal notation.",
+}
+
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="vmnv", description=__doc__)
@@ -90,7 +159,18 @@ def main(argv=None) -> int:
         return 1
 
     for name, value in res.test_vectors.items():
-        print(f"{name} = {value}")
+        # Reference output block (reference:
+        # MixNetElGamalVerifyFiatShamir.printTestVector:382-388 +
+        # MixNetElGamalVerifyFiatShamirTool.testVectorHeader:292-309).
+        key = name
+        idx = None
+        if name[-1].isdigit():
+            base = name.rstrip("0123456789")
+            if base in TV_DESCRIPTIONS:
+                key, idx = base, name[len(base):]
+        desc = TV_DESCRIPTIONS.get(key, "")
+        shown = key[:-1] + idx if idx is not None else key
+        print(f"\nTEST VECTOR\n{shown} - {desc}\n{value}")
     if args.v:
         print(f"type={res.type} auxsid={res.auxsid} width={res.width} "
               f"active_threshold={res.active_threshold}")

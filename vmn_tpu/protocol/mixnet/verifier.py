@@ -78,9 +78,14 @@ class FiatShamirVerifier:
     # ------------------------------------------------------------- utils
 
     def _tv(self, name: str, value) -> None:
-        """Test-vector output (reference:
-        MixNetElGamalVerifyFiatShamir.checkPrintTestVector:397-430)."""
-        if name in self.tv_names:
+        """Test-vector output.  A requested PREFIX (e.g. "PoS")
+        activates every dotted name under it, exactly like the
+        reference name check (reference:
+        MixNetElGamalVerifyFiatShamir.checkTestVector:399-409,
+        checkPrintTestVector:418-430)."""
+        if name in self.tv_names or (
+            "." in name and name.split(".", 1)[0] in self.tv_names
+        ):
             self.tv[name] = str(value)
 
     def _fail(self, msg: str):
