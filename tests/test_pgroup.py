@@ -163,3 +163,58 @@ def test_message_encoding(grp):
         m = grp.encode_message(msg)
         assert pow(m, grp.q, grp.p) == 1
         assert grp.decode_message(m) == msg
+
+
+def test_native_jacobi_membership_matches_euler():
+    """The native batch Jacobi (host, parse-time membership for
+    safe-prime groups) agrees with the Euler criterion x^q mod p,
+    including non-members, zero padding columns, and rejects are
+    surfaced as ByteTreeError on parse (reference: VCR ModPGroup
+    element verification via GMP mpz_jacobi, SURVEY.md §2.3)."""
+    import random
+
+    import numpy as np
+    import pytest as _pytest
+
+    from vmn_tpu.arith.pgroup import ModPGroup
+    from vmn_tpu.eio.bytetree import ByteTreeError
+    from vmn_tpu.native.build import jacobi_batch
+
+    group = ModPGroup.named("test256")
+    p, q = group.p, group.q
+    rnd = random.Random(11)
+    vals = [rnd.randrange(1, p) for _ in range(64)]
+    vals = [pow(v, 2, p) if i % 2 else v for i, v in enumerate(vals)]
+    raw = np.stack([
+        np.frombuffer(v.to_bytes(group.bytelen, "big"), np.uint8)
+        for v in vals
+    ])
+    out = jacobi_batch(raw, group._p_bytes)
+    if out is None:
+        _pytest.skip("native toolchain unavailable")
+    want = np.array(
+        [1 if pow(v, q, p) == 1 else 0 for v in vals], np.uint8
+    )
+    assert np.array_equal(out, want)
+
+    # parse path: an array with one non-member must be rejected
+    members = [pow(v, 2, p) for v in vals]
+    nr = 2
+    while pow(nr, q, p) == 1:
+        nr += 1
+    bad = list(members)
+    bad[17] = nr
+    ok_arr = group.elem_from_bytetree(
+        group.elem_to_bytetree(group.from_ints(members))
+    )
+    assert ok_arr.size == len(members)
+    from vmn_tpu.eio.bytetree import array_leaf_node
+
+    bad_bt = array_leaf_node(
+        np.stack([
+            np.frombuffer(v.to_bytes(group.bytelen, "big"), np.uint8)
+            for v in bad
+        ])
+    )
+    with _pytest.raises(ByteTreeError):
+        group.elem_from_bytetree(bad_bt)

@@ -69,9 +69,11 @@ class _Curve:
         self.zero = jnp.asarray(int_to_limbs(0, c.L))
         self.one_m = jnp.asarray(c.one_mont)
 
-    # shorthand field ops (Montgomery form)
+    # shorthand field ops (Montgomery form).  `mul` dispatches through
+    # MontCtx so batched field products ride the Pallas kernel on TPU
+    # (and the shard_map wrappers for sharded batches).
     def mul(self, x, y):
-        return mont.mont_mul(x, y, self.ctx.m_limbs, self.ctx.mprime)
+        return self.ctx.mul(x, y)
 
     def add(self, x, y):
         return mont.add_mod(x, y, self.ctx.m_limbs)
@@ -172,23 +174,18 @@ class _Curve:
 
     def batch_inv(self, z):
         """Montgomery-trick batched inversion of (..., L) nonzero
-        elements: one field exp + O(N) muls (log-depth scans)."""
+        elements: one field exp + O(N log N) muls in 2 Hillis-Steele
+        scans.  The scans dispatch through MontCtx.prods_scan, so on
+        TPU every round is ONE fused Pallas product over the batch
+        (the associative_scan-of-XLA-muls this replaces dominated
+        every EC point operation's cost via `normalize`)."""
         c = self.ctx
         if z.ndim == 1:
             return self.inv_single(z)
-        # prefix products along axis 0
-        pre = jax.lax.associative_scan(
-            lambda a, b: mont.mont_mul(a, b, c.m_limbs, c.mprime), z, axis=0
-        )
+        pre = c.prods_scan(z)  # inclusive prefix products
         total_inv = self.inv_single(pre[-1])
-        # suffix: inv of prefix i = total_inv * prod_{j>i} z_j
-        # walk backwards: inv_i = inv_prefix_i ; inv_prefix_{i-1} =
-        # inv_prefix_i * z_i ; elem_inv_i = inv_prefix_i * prefix_{i-1}
         rev = jnp.flip(z, axis=0)
-        suf = jax.lax.associative_scan(
-            lambda a, b: mont.mont_mul(a, b, c.m_limbs, c.mprime),
-            rev, axis=0,
-        )
+        suf = c.prods_scan(rev)
         # inv_prefix_i = total_inv * prod_{j>i} z_j
         ones = jnp.broadcast_to(self.one_m, (1,) + z.shape[1:])
         suffix_after = jnp.concatenate(
@@ -208,9 +205,7 @@ class _Curve:
         c = self.ctx
         e_int = c.m - 2
         e = jnp.asarray(int_to_limbs(e_int, c.L))
-        return mont.mont_exp(
-            z, e, c.m_limbs, c.mprime, c.one_mont, c.nbits
-        )
+        return c.exp(z, e, c.nbits)
 
 
 # ====================================================================
@@ -462,14 +457,52 @@ class ECqPGroup:
     def random_array(self, nelem: int, prg, rbitlen: int) -> "ECArray":
         """Derive points from a PRG stream: candidate x values until on
         curve, even y (reference: ECqPGroup.randomElementArray try-and-
-        increment derivation)."""
+        increment derivation).
+
+        For p = 3 (mod 4) (P-256, P-384) the candidates are processed
+        in DEVICE batches — modular sqrt is rhs^((p+1)/4) — taking the
+        first `nelem` valid candidates in stream order, which yields
+        exactly the sequential derivation's points (the per-candidate
+        host loop with a Python modpow each cost seconds per session).
+        """
         bits = self.p.bit_length() + rbitlen
         nbytes = (bits + 7) // 8
+        extra = 8 * nbytes - bits
+        if self.p % 4 == 3:
+            xs_parts, ys_parts, got = [], [], 0
+            while got < nelem:
+                k = max(2 * (nelem - got) + 16, 64)
+                raw = np.frombuffer(
+                    prg.read_bytes(k * nbytes), np.uint8
+                ).reshape(k, nbytes).copy()
+                if extra:
+                    # the sequential derivation right-shifts the whole
+                    # candidate by `extra` bits
+                    wide = np.zeros((k, nbytes + 1), np.uint8)
+                    wide[:, 1:] = raw
+                    shifted = (
+                        (wide[:, 1:] >> extra)
+                        | (wide[:, :-1] << (8 - extra))
+                    ).astype(np.uint8)
+                    raw = shifted
+                x_m, y_m, valid = self._derive_candidates(raw)
+                valid = np.asarray(valid)
+                idx = np.nonzero(valid)[0][: nelem - got]
+                if len(idx):
+                    take = jnp.asarray(idx)
+                    xs_parts.append(jnp.take(x_m, take, axis=0))
+                    ys_parts.append(jnp.take(y_m, take, axis=0))
+                    got += len(idx)
+            return ECArray(
+                self,
+                jnp.concatenate(xs_parts, axis=0),
+                jnp.concatenate(ys_parts, axis=0),
+                jnp.zeros((nelem,), bool),
+            )
         pts = []
         while len(pts) < nelem:
             raw = prg.read_bytes(nbytes)
             t = int.from_bytes(raw, "big")
-            extra = 8 * nbytes - bits
             if extra:
                 t >>= extra
             x = t % self.p
@@ -480,34 +513,108 @@ class ECqPGroup:
                 pts.append((x, y))
         return self.from_affine(pts)
 
+    def _derive_candidates(self, raw: np.ndarray):
+        """Batched candidate evaluation (p = 3 mod 4): x = cand mod p,
+        rhs = x^3 + ax + b, s = rhs^((p+1)/4), valid iff s^2 == rhs;
+        y = s normalized to even (y -> p - y when odd)."""
+        from vmn_tpu.arith.limbs import LIMB_BITS as _LB
+
+        ctx = self.ctx
+        c = self.curve
+        Lw = max(ctx.L, num_limbs(8 * raw.shape[1]))
+        wide = mont.device_limbs(bytes_be_to_limbs(raw, Lw))
+        x_m = ctx.to_mont(ctx.reduce_std(wide))
+        rhs = c.add(
+            c.add(c.mul(c.sq(x_m), x_m),
+                  c.mul(jnp.broadcast_to(c.a_m, x_m.shape), x_m)),
+            jnp.broadcast_to(c.b_m, x_m.shape),
+        )
+        e_int = (self.p + 1) // 4
+        e = jnp.asarray(int_to_limbs(e_int, ctx.L))
+        s = ctx.exp(rhs, e, e_int.bit_length())
+        valid = jnp.all(ctx.mul(s, s) == rhs, axis=-1)
+        y_std = ctx.from_mont(s)
+        odd = (y_std[..., 0] & 1).astype(bool)
+        y_m = jnp.where(odd[..., None], ctx.neg(s), s)
+        return x_m, y_m, valid
+
     # --------------------------------------------------------- serialize
 
     def elem_to_bytetree(self, arr: "ECArray") -> ByteTree:
-        xs = np.asarray(self.ctx.from_mont(arr.x))
-        ys = np.asarray(self.ctx.from_mont(arr.y))
+        if getattr(arr, "_bt", None) is not None:
+            return arr._bt
+        # u16 transfer (mont.host_limbs) halves the device->host bytes
+        xs = mont.host_limbs(self.ctx.from_mont(arr.x))
+        ys = mont.host_limbs(self.ctx.from_mont(arr.y))
         infs = np.asarray(arr.inf)
         scalar = xs.ndim == 1
         if scalar:
             xs, ys, infs = xs[None], ys[None], infs[None]
         xb = limbs_to_bytes_be(xs, self.fbytelen)
         yb = limbs_to_bytes_be(ys, self.fbytelen)
-        ff = b"\xff" * self.fbytelen
-        out = []
-        for i in range(xs.shape[0]):
-            if infs[i]:
-                out.append(node(leaf(ff), leaf(ff)))
-            else:
-                out.append(
-                    node(leaf(xb[i].tobytes()), leaf(yb[i].tobytes()))
-                )
-        return out[0] if scalar else node(*out)
+        if infs.any():
+            xb = xb.copy()
+            yb = yb.copy()
+            xb[infs] = 0xFF  # infinity = (-1, -1), reference encoding
+            yb[infs] = 0xFF
+        if scalar:
+            return node(leaf(xb[0].tobytes()), leaf(yb[0].tobytes()))
+        from vmn_tpu.eio.bytetree import ec_points_node
+
+        bt = ec_points_node(xb, yb)
+        arr._bt = bt
+        return bt
+
+    def _from_coord_bytes(self, xb, yb, bt, validate: bool) -> "ECArray":
+        """(n, fb) big-endian coordinate bytes -> validated ECArray.
+
+        Vectorized: infinity detection, range checks and the on-curve
+        test all run batched (the test on device), replacing per-point
+        Python bigint arithmetic."""
+        from vmn_tpu.arith.pgroup import _range_check_be
+
+        infs = np.logical_and(
+            (xb == 0xFF).all(axis=1), (yb == 0xFF).all(axis=1)
+        )
+        if infs.any():
+            xb = xb.copy()
+            yb = yb.copy()
+            xb[infs] = 0
+            yb[infs] = 0
+        fin_x = xb[~infs]
+        fin_y = yb[~infs]
+        if fin_x.size and not (
+            _range_check_be(fin_x, self.p, self.fbytelen, allow_zero=True)
+            and _range_check_be(fin_y, self.p, self.fbytelen,
+                                allow_zero=True)
+        ):
+            raise ByteTreeError("EC coordinate out of range")
+        ctx = self.ctx
+        x_m = ctx.to_mont(
+            mont.device_limbs(bytes_be_to_limbs(xb, ctx.L))
+        )
+        y_m = ctx.to_mont(
+            mont.device_limbs(bytes_be_to_limbs(yb, ctx.L))
+        )
+        arr = ECArray(self, x_m, y_m, jnp.asarray(infs))
+        if validate and not arr.is_in_group():
+            raise ByteTreeError("point not on curve")
+        arr._bt = bt
+        return arr
 
     def elem_from_bytetree(self, bt: ByteTree, size: Optional[int] = None,
                            validate: bool = True) -> "ECArray":
+        from vmn_tpu.eio.bytetree import parse_ec_point_array
+
         if not bt.is_leaf and bt.children and bt.children[0].is_leaf:
             kids = [bt]  # single point node(x,y)
             scalar = True
         else:
+            pair = parse_ec_point_array(bt, self.fbytelen)
+            if pair is not None:
+                if size is not None and pair[0].shape[0] != size:
+                    raise ByteTreeError("wrong EC array length")
+                return self._from_coord_bytes(*pair, bt, validate)
             kids = list(bt.children)
             scalar = False
             if size is not None and len(kids) != size:
@@ -593,7 +700,7 @@ class ECArray:
     mask.  Mirrors the GArray surface (exp = scalar mul, mul = point
     add, prod, exp_prod, ...)."""
 
-    __slots__ = ("grp", "x", "y", "inf")
+    __slots__ = ("grp", "x", "y", "inf", "_bt")
 
     def spill(self) -> "ECArray":
         """Disk-spill backend hook (arrays=file)."""
@@ -608,6 +715,7 @@ class ECArray:
         self.x = x
         self.y = y
         self.inf = inf
+        self._bt = None  # serialization memo (set by the codec paths)
 
     # -------------------------------------------------------------- meta
 

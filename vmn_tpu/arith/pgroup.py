@@ -56,14 +56,18 @@ def _bytelen(n: int) -> int:
     return n.bit_length() // 8 + 1
 
 
-def _range_check_be(raw: np.ndarray, p: int, bytelen: int) -> bool:
-    """Vectorized check that every (bytelen,)-row satisfies 0 < x < p."""
+def _range_check_be(raw: np.ndarray, p: int, bytelen: int,
+                    allow_zero: bool = False) -> bool:
+    """Vectorized check that every (bytelen,)-row satisfies 0 < x < p
+    (0 <= x < p with allow_zero, for EC coordinates)."""
     pb = np.frombuffer(p.to_bytes(bytelen, "big"), np.uint8)
     # lexicographic big-endian compare row < pb
     diff = raw.astype(np.int16) - pb.astype(np.int16)
     first_nz = (diff != 0).argmax(axis=1)
     rows = np.arange(raw.shape[0])
     lt = diff[rows, first_nz] < 0  # equal rows give diff 0 -> not <
+    if allow_zero:
+        return bool(lt.all())
     nonzero = raw.any(axis=1)
     return bool((lt & nonzero).all())
 
@@ -434,6 +438,7 @@ class ModPGroup:
         self.bytelen = _bytelen(p)
         self.ring = PField(q)
         self._g = None
+        self._p_bytes = p.to_bytes((p.bit_length() + 7) // 8, "big")
 
     # ----------------------------------------------------------- named
 
@@ -525,8 +530,23 @@ class ModPGroup:
         # vectorized range check: 0 < x < p
         if not _range_check_be(raw, self.p, self.bytelen):
             raise ByteTreeError("element out of range")
+        validated = False
+        if validate and self.coorder == 2:
+            # Safe-prime groups: membership x in QR(p) <=> (x|p) == 1.
+            # The native batch Jacobi runs on the host bytes during the
+            # parse — the reference's GMP mpz_jacobi equivalent
+            # (SURVEY.md §2.3) — replacing a full batched device
+            # exponentiation x^q per parsed array (the standalone
+            # verifier's dominant cost).
+            from vmn_tpu.native.build import jacobi_batch
+
+            ok = jacobi_batch(raw, self._p_bytes)
+            if ok is not None:
+                if not bool(ok.all()):
+                    raise ByteTreeError("element not in subgroup")
+                validated = True
         ga = GArray(self, self.ctx.to_mont(device_limbs(limbs)))
-        if validate and not ga.is_in_group():
+        if validate and not validated and not ga.is_in_group():
             raise ByteTreeError("element not in subgroup")
         if scalar:
             return ga.get(0)

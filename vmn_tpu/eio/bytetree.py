@@ -378,3 +378,76 @@ def signed_int_leaf(value: int) -> ByteTree:
 def fixed_int_leaf(value: int, nbytes: int) -> ByteTree:
     """Unsigned big-endian integer leaf of a fixed byte length."""
     return ByteTree(data=value.to_bytes(nbytes, "big", signed=False))
+
+
+def ec_points_node(xb, yb) -> RawByteTree:
+    """(n, fb) x/y coordinate byte matrices -> node of n
+    node(leaf(x), leaf(y)) point trees, serialized in one numpy pass
+    (the per-point Python loop dominated EC transcript exports)."""
+    import numpy as np
+
+    xb = np.ascontiguousarray(xb, dtype=np.uint8)
+    yb = np.ascontiguousarray(yb, dtype=np.uint8)
+    n, fb = xb.shape
+    rec = np.zeros((n, 5 + 2 * (5 + fb)), dtype=np.uint8)
+    rec[:, 0] = NODE_TAG
+    rec[:, 1:5] = np.frombuffer(struct.pack(">I", 2), dtype=np.uint8)
+    rec[:, 5] = LEAF_TAG
+    rec[:, 6:10] = np.frombuffer(struct.pack(">I", fb), dtype=np.uint8)
+    rec[:, 10:10 + fb] = xb
+    off = 10 + fb
+    rec[:, off] = LEAF_TAG
+    rec[:, off + 1:off + 5] = np.frombuffer(
+        struct.pack(">I", fb), dtype=np.uint8
+    )
+    rec[:, off + 5:] = yb
+    head = struct.pack(">BI", NODE_TAG, n)
+    return RawByteTree(head + rec.tobytes())
+
+
+def parse_ec_point_array(bt: ByteTree, fb: int):
+    """If `bt` is a node of n uniform node(leaf(x), leaf(y)) points with
+    fb-byte coordinates, return ((n, fb) xb, (n, fb) yb); else None."""
+    import numpy as np
+
+    rec_len = 5 + 2 * (5 + fb)
+    if isinstance(bt, RawByteTree):
+        raw = bt.to_bytes()
+        if len(raw) < 5 or raw[0] != NODE_TAG:
+            return None
+        (n,) = struct.unpack_from(">I", raw, 1)
+        if len(raw) != 5 + n * rec_len:
+            return None
+        rec = np.frombuffer(raw, np.uint8, offset=5).reshape(n, rec_len)
+    else:
+        if bt.is_leaf or not bt.children:
+            return None
+        kids = bt.children
+        ok = all(
+            (not k.is_leaf) and len(k.children) == 2
+            and k.children[0].is_leaf and k.children[1].is_leaf
+            and len(k.children[0].data) == fb
+            and len(k.children[1].data) == fb
+            for k in kids
+        )
+        if not ok:
+            return None
+        buf = b"".join(
+            k.children[0].data + k.children[1].data for k in kids
+        )
+        flat = np.frombuffer(buf, np.uint8).reshape(len(kids), 2 * fb)
+        return (
+            np.ascontiguousarray(flat[:, :fb]),
+            np.ascontiguousarray(flat[:, fb:]),
+        )
+    hdr_ok = (
+        (rec[:, 0] == NODE_TAG).all()
+        and (rec[:, 5] == LEAF_TAG).all()
+        and (rec[:, 10 + fb] == LEAF_TAG).all()
+    )
+    if not hdr_ok:
+        return None
+    return (
+        np.ascontiguousarray(rec[:, 10:10 + fb]),
+        np.ascontiguousarray(rec[:, 10 + fb + 5:]),
+    )

@@ -21,7 +21,7 @@ _tried = False
 def _compile() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)],
+            ["g++", "-O3", "-pthread", "-shared", "-fPIC", "-o", str(_SO), str(_SRC)],
             check=True,
             capture_output=True,
             timeout=120,
@@ -69,5 +69,47 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int32,
             ctypes.c_size_t, ctypes.c_char_p,
         ]
+        lib.jacobi_batch.restype = ctypes.c_int
+        lib.jacobi_batch.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
+            ctypes.c_char_p,
+        ]
         _lib = lib
         return _lib
+
+
+def jacobi_batch(raw, p_bytes: bytes, nthreads: int = 0):
+    """Jacobi symbols of n big-endian elements against an odd modulus.
+
+    raw: C-contiguous (n, eb) uint8 array.  Returns a length-n uint8
+    array (1 where (x|p) == 1), or None when the native library is
+    unavailable (callers fall back to the device exponentiation path).
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    n, eb = raw.shape
+    if eb > len(p_bytes):
+        # canonical encodings carry a leading zero byte (Java
+        # BigInteger.toByteArray length); values are already
+        # range-checked < p, so the extra columns must be zero
+        extra = eb - len(p_bytes)
+        if raw[:, :extra].any():
+            return np.zeros(n, np.uint8)  # out of range -> not members
+        raw = np.ascontiguousarray(raw[:, extra:])
+        eb = len(p_bytes)
+    out = np.empty(n, np.uint8)
+    if nthreads <= 0:
+        nthreads = min(16, os.cpu_count() or 1)
+    rc = lib.jacobi_batch(
+        raw.ctypes.data_as(ctypes.c_char_p), n, eb,
+        p_bytes, len(p_bytes), nthreads,
+        out.ctypes.data_as(ctypes.c_char_p),
+    )
+    if rc != 0:
+        return None
+    return out

@@ -209,3 +209,137 @@ void prg_expand_sha256(const uint8_t *seed, size_t seedlen,
 }
 
 }  // extern "C"
+
+// ------------------------------------------------------------------
+// Batch Jacobi symbol — deterministic subgroup membership for
+// safe-prime groups (x in QR(p) <=> (x|p) == 1).  The reference's
+// equivalent is GMP's mpz_jacobi under VCR's ModPGroup element
+// verification (reference: SURVEY.md §2.3 GMP layer); checking
+// membership on the HOST during byte-tree parsing replaces a full
+// batched device exponentiation x^q per parsed transcript array —
+// the standalone verifier's dominant cost.
+//
+// Algorithm: binary (subtract/shift) Jacobi on 64-bit words,
+// O(bits) iterations of O(words) work, multithreaded over elements.
+
+#include <vector>
+#include <thread>
+#include <algorithm>
+
+namespace {
+
+typedef uint64_t u64;
+
+inline int bignum_is_zero(const u64 *a, int W) {
+    for (int i = 0; i < W; ++i)
+        if (a[i]) return 0;
+    return 1;
+}
+
+inline int bignum_cmp(const u64 *a, const u64 *b, int W) {
+    for (int i = W - 1; i >= 0; --i)
+        if (a[i] != b[i]) return a[i] < b[i] ? -1 : 1;
+    return 0;
+}
+
+inline void bignum_sub(u64 *a, const u64 *b, int W) {  // a -= b, a >= b
+    u64 borrow = 0;
+    for (int i = 0; i < W; ++i) {
+        u64 bi = b[i] + borrow;
+        u64 nb = (bi < borrow) || (a[i] < bi);
+        a[i] -= bi;
+        borrow = nb;
+    }
+}
+
+inline void bignum_shr_small(u64 *a, int W, unsigned k) {  // k in [1,63]
+    for (int i = 0; i < W - 1; ++i)
+        a[i] = (a[i] >> k) | (a[i + 1] << (64 - k));
+    a[W - 1] >>= k;
+}
+
+inline int bignum_ctz(const u64 *a, int W) {
+    for (int i = 0; i < W; ++i)
+        if (a[i]) return i * 64 + __builtin_ctzll(a[i]);
+    return W * 64;
+}
+
+// Jacobi symbol (a|n) for odd n; destroys a and n.  Returns 0 when
+// gcd(a, n) > 1.
+int jacobi_one(u64 *a, u64 *n, int W) {
+    int t = 1;
+    for (;;) {
+        if (bignum_is_zero(a, W)) {
+            u64 acc = n[0] ^ 1;
+            for (int i = 1; i < W; ++i) acc |= n[i];
+            return acc == 0 ? t : 0;
+        }
+        int k = bignum_ctz(a, W);
+        if (k) {
+            int big = k / 64;
+            if (big) {
+                for (int i = 0; i + big < W; ++i) a[i] = a[i + big];
+                for (int i = W - big; i < W; ++i) a[i] = 0;
+            }
+            unsigned rem = (unsigned)(k % 64);
+            if (rem) bignum_shr_small(a, W, rem);
+            if (k & 1) {
+                unsigned r = (unsigned)(n[0] & 7);
+                if (r == 3 || r == 5) t = -t;
+            }
+        }
+        // a odd
+        if (bignum_cmp(a, n, W) < 0) {
+            if ((a[0] & 3) == 3 && (n[0] & 3) == 3) t = -t;
+            for (int i = 0; i < W; ++i) {
+                u64 tmp = a[i];
+                a[i] = n[i];
+                n[i] = tmp;
+            }
+        }
+        bignum_sub(a, n, W);
+    }
+}
+
+inline void be_to_words(const uint8_t *src, size_t nb, u64 *dst, int W) {
+    for (int i = 0; i < W; ++i) dst[i] = 0;
+    for (size_t i = 0; i < nb; ++i)
+        dst[i / 8] |= (u64)src[nb - 1 - i] << (8 * (i % 8));
+}
+
+}  // namespace
+
+extern "C" int jacobi_batch(const uint8_t *data, size_t n, size_t eb,
+                            const uint8_t *mod, size_t mb,
+                            int nthreads, uint8_t *out) {
+    if (mb == 0 || (mod[mb - 1] & 1) == 0) return -1;  // modulus must be odd
+    const int W = (int)((mb + 7) / 8);
+    if ((eb + 7) / 8 > (size_t)W) return -2;  // elements wider than modulus
+    std::vector<u64> nref(W);
+    be_to_words(mod, mb, nref.data(), W);
+
+    auto work = [&](size_t lo, size_t hi) {
+        std::vector<u64> a(W), nn(W);
+        for (size_t j = lo; j < hi; ++j) {
+            be_to_words(data + j * eb, eb, a.data(), W);
+            std::copy(nref.begin(), nref.end(), nn.begin());
+            out[j] = (uint8_t)(jacobi_one(a.data(), nn.data(), W) == 1);
+        }
+    };
+    if (nthreads < 1) nthreads = 1;
+    if ((size_t)nthreads > n) nthreads = (int)(n ? n : 1);
+    if (nthreads == 1) {
+        work(0, n);
+        return 0;
+    }
+    std::vector<std::thread> ts;
+    size_t chunk = (n + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t) {
+        size_t lo = (size_t)t * chunk;
+        size_t hi = lo + chunk < n ? lo + chunk : n;
+        if (lo >= hi) break;
+        ts.emplace_back(work, lo, hi);
+    }
+    for (auto &th : ts) th.join();
+    return 0;
+}

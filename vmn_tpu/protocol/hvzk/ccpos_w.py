@@ -173,13 +173,19 @@ class CCPoSVerifier:
                 g_term,
             )
             return lhs.equals(rhs)
-        ok_a = self.A.exp_mul(v, self.Ap).equals(
-            self.g.exp(k_A).mul(self.h.exp_prod(k_E))
-        )
-        ok_b = self.B.exp_mul(v, self.Bp).equals(
-            self.pkey.exp(k_B.neg()).mul(self.wp.exp_prod(k_E))
-        )
-        return ok_a and ok_b
+        from vmn_tpu.protocol.hvzk.pos_tw import _all_checks, _eq_device
+
+        checks = [
+            _eq_device(
+                self.A.exp_mul(v, self.Ap),
+                self.g.exp(k_A).mul(self.h.exp_prod(k_E)),
+            ),
+            _eq_device(
+                self.B.exp_mul(v, self.Bp),
+                self.pkey.exp(k_B.neg()).mul(self.wp.exp_prod(k_E)),
+            ),
+        ]
+        return _all_checks(checks)
 
 
 def _mul_each(pp, x):

@@ -271,30 +271,92 @@ class PoSVerifier:
         self.k_A, self.k_B, self.k_C = k_A, k_B, k_C
         self.k_D, self.k_E, self.k_F = k_D, k_E, k_F
 
-        # A: A^v Ap == g^{k_A} prod h^{k_E}
-        ok_a = self.A.exp_mul(v, self.Ap).equals(
-            self.g.exp(k_A).mul(self.h.exp_prod(k_E))
-        )
+        # All five equations are dispatched before the single device
+        # fetch at the end: the per-equation .equals() host syncs
+        # serialized device work against the host (one round trip per
+        # equation over a remote device link).
+        checks = []
 
-        # B: B^v Bp == g^{k_B} Bshift^{k_E}
-        lhs = self.B.exp(v).mul(self.Bp)
+        # A: A^v Ap == g^{k_A} prod h^{k_E}
+        checks.append(_eq_device(
+            self.A.exp_mul(v, self.Ap),
+            self.g.exp(k_A).mul(self.h.exp_prod(k_E)),
+        ))
+
+        # B: B_i^v Bp_i == g^{k_B_i} Bshift_i^{k_E_i}, checked as ONE
+        # random linear combination with verifier-LOCAL 100-bit
+        # weights alpha (soundness 2^-100, the protocol's statistical
+        # parameter): a cheater satisfying the combination must hit
+        # sum alpha_i*d_i == 0 mod q for a fixed nonzero d.  This
+        # turns N variable-base full-size exponentiations into
+        # shared-squaring multi-exps — the verifier's dominant cost
+        # (the reference checks the N equations elementwise with the
+        # same array ops, PoSBasicTW.java:1030-1043; the random
+        # combination is the TPU-shaped equivalent).
         bshift = self.B.shift_push(h0)
-        rhs = self.g.exp(k_B).mul(bshift.exp(k_E))
-        ok_b = lhs.equals(rhs)
+        alpha = ring.random_bits(n, _BATCH_CHECK_BITS, _local_rs())
+        lhs = self.B.exp_prod(alpha, _BATCH_CHECK_BITS).exp(v).mul(
+            self.Bp.exp_prod(alpha, _BATCH_CHECK_BITS)
+        )
+        rhs = self.g.exp(k_B.inner_product(alpha)).mul(
+            bshift.exp_prod(k_E.mul(alpha))
+        )
+        checks.append(_eq_device(lhs, rhs))
 
         # C, D
-        ok_c = C.exp_mul(v, self.Cp).equals(self.g.exp(k_C))
-        ok_d = D.exp_mul(v, self.Dp).equals(self.g.exp(k_D))
+        checks.append(_eq_device(C.exp_mul(v, self.Cp), self.g.exp(k_C)))
+        checks.append(_eq_device(D.exp_mul(v, self.Dp), self.g.exp(k_D)))
 
         # F: F^v Fp == pk^{-k_F} prod wp^{k_E}
-        ok_f = self.F.exp_mul(v, self.Fp).equals(
-            self.pkey.exp(k_F.neg()).mul(self.wp.exp_prod(k_E))
-        )
+        checks.append(_eq_device(
+            self.F.exp_mul(v, self.Fp),
+            self.pkey.exp(k_F.neg()).mul(self.wp.exp_prod(k_E)),
+        ))
 
-        return ok_a and ok_b and ok_c and ok_d and ok_f
+        return _all_checks(checks)
 
 
 # ---------------------------------------------------------------- helpers
+
+
+_BATCH_CHECK_BITS = 100  # statistical soundness of batched equation checks
+
+
+def _local_rs():
+    """Verifier-local randomness for batched equation checks (never
+    protocol-visible; distinct from any seeded session source)."""
+    from vmn_tpu.crypto.randomsource import RandomDevice
+
+    return RandomDevice()
+
+
+def _eq_device(a, b):
+    """Element equality as a LAZY device scalar (list of jnp bools) —
+    no host sync; combine with _all_checks."""
+    import jax.numpy as jnp
+
+    if hasattr(a, "components"):
+        out = []
+        for ca, cb in zip(a.components, b.components):
+            out.extend(_eq_device(ca, cb))
+        return out
+    if hasattr(a, "inf"):  # EC arrays
+        return [
+            jnp.array_equal(a.x, b.x),
+            jnp.array_equal(a.y, b.y),
+            jnp.array_equal(a.inf, b.inf),
+        ]
+    return [jnp.array_equal(a.limbs, b.limbs)]
+
+
+def _all_checks(checks) -> bool:
+    """AND of nested _eq_device results with ONE device fetch."""
+    import jax.numpy as jnp
+
+    flat = []
+    for c in checks:
+        flat.extend(c if isinstance(c, list) else [c])
+    return bool(jnp.all(jnp.stack(flat)))
 
 
 def _random_bits_field(ring, n, bits, randomsource):

@@ -163,15 +163,33 @@ class PoSCVerifier:
         C = self.u.prod().div(self.h.prod())
         D = self.B.get(n - 1).div(h0.exp(self.e.prod()))
 
-        ok_a = A.exp_mul(v, self.Ap).equals(
-            self.g.exp(k_A).mul(self.h.exp_prod(k_E))
+        from vmn_tpu.protocol.hvzk.pos_tw import (
+            _BATCH_CHECK_BITS,
+            _all_checks,
+            _eq_device,
+            _local_rs,
         )
-        lhs = self.B.exp(v).mul(self.Bp)
-        rhs = self.g.exp(k_B).mul(self.B.shift_push(h0).exp(k_E))
-        ok_b = lhs.equals(rhs)
-        ok_c = C.exp_mul(v, self.Cp).equals(self.g.exp(k_C))
-        ok_d = D.exp_mul(v, self.Dp).equals(self.g.exp(k_D))
-        return ok_a and ok_b and ok_c and ok_d
+
+        # B-equation as one random linear combination (see pos_tw).
+        alpha = ring.random_bits(n, _BATCH_CHECK_BITS, _local_rs())
+        bshift = self.B.shift_push(h0)
+        checks = [
+            _eq_device(
+                A.exp_mul(v, self.Ap),
+                self.g.exp(k_A).mul(self.h.exp_prod(k_E)),
+            ),
+            _eq_device(
+                self.B.exp_prod(alpha, _BATCH_CHECK_BITS).exp(v).mul(
+                    self.Bp.exp_prod(alpha, _BATCH_CHECK_BITS)
+                ),
+                self.g.exp(k_B.inner_product(alpha)).mul(
+                    bshift.exp_prod(k_E.mul(alpha))
+                ),
+            ),
+            _eq_device(C.exp_mul(v, self.Cp), self.g.exp(k_C)),
+            _eq_device(D.exp_mul(v, self.Dp), self.g.exp(k_D)),
+        ]
+        return _all_checks(checks)
 
 
 def posc_seed_data(g, h, u) -> ByteTree:

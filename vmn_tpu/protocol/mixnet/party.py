@@ -1345,9 +1345,12 @@ def _verify_combined(field, g, A, joint_y, combined_f, e, ebitlen,
         term = kxs[i].mul(lam_f)
         ckx = term if ckx is None else ckx.add(term)
     combined_B = combined_f.exp_prod(e, ebitlen)
-    ok1 = joint_y.inv().exp(v_f).mul(cyp).equals(g.exp(ckx))
-    ok2 = combined_B.exp(v_f).mul(cBp).equals(A.exp(ckx))
-    return ok1 and ok2
+    from vmn_tpu.protocol.hvzk.pos_tw import _all_checks, _eq_device
+
+    return _all_checks([
+        _eq_device(joint_y.inv().exp(v_f).mul(cyp), g.exp(ckx)),
+        _eq_device(combined_B.exp(v_f).mul(cBp), A.exp(ckx)),
+    ])
 
 
 def _verify_party(field, g, A, y_l, f_l, e, ebitlen, yp, Bp, kx,
@@ -1355,9 +1358,12 @@ def _verify_party(field, g, A, y_l, f_l, e, ebitlen, yp, Bp, kx,
     """Per-party sigma verification (reference: verify:718-727)."""
     B_l = f_l.exp_prod(e, ebitlen)
     ivf = field.from_int(inv_factor)
-    ok1 = y_l.inv().exp(ivf.mul(v_f)).mul(yp).equals(g.exp(kx))
-    ok2 = B_l.exp(v_f).mul(Bp).equals(A.exp(kx))
-    return ok1 and ok2
+    from vmn_tpu.protocol.hvzk.pos_tw import _all_checks, _eq_device
+
+    return _all_checks([
+        _eq_device(y_l.inv().exp(ivf.mul(v_f)).mul(yp), g.exp(kx)),
+        _eq_device(B_l.exp(v_f).mul(Bp), A.exp(kx)),
+    ])
 
 
 def _bool_array_bt(correct) -> ByteTree:
