@@ -29,6 +29,92 @@ class CoinFlipError(Exception):
     pass
 
 
+class _NullCipher:
+    """Identity cipher for single-process harnesses (matches
+    secretsharing.pedersen._NullCipher)."""
+
+    def encrypt(self, to_party: int, data: bytes) -> bytes:
+        return data
+
+    def decrypt(self, data: bytes) -> bytes:
+        return data
+
+
+class _CoinView:
+    """Per-coin view of a batched collapsed dealing: the fields
+    `_collect_many` consumes (share + polynomial in exponent)."""
+
+    __slots__ = ("share", "poly_in_exp")
+
+    def __init__(self, share, poly_in_exp):
+        self.share = share
+        self.poly_in_exp = poly_in_exp
+
+
+def _pp_reshape(pp, shape):
+    """Reshape the leading dims of a product-ring array."""
+    from vmn_tpu.arith.pgroup import FArray, PPFArray
+
+    return PPFArray(
+        pp.parent,
+        tuple(
+            FArray(c.field, c.limbs.reshape(shape + c.limbs.shape[-1:]))
+            for c in pp.components
+        ),
+    )
+
+
+def _eval_poly_batch(ring, coeffs, i: int):
+    """Horner evaluation of n stacked degree-(t-1) polynomials at the
+    scalar point i: coeffs (n, t) pair-ring array -> (n,) pairs."""
+    from vmn_tpu.arith.pgroup import FArray, PPFArray
+
+    t = coeffs.components[0].limbs.shape[1]
+    x = ring.from_int(i)
+
+    def col(m):
+        return PPFArray(
+            coeffs.parent,
+            tuple(
+                FArray(c.field, c.limbs[:, m]) for c in coeffs.components
+            ),
+        )
+
+    acc = col(t - 1)
+    for m in range(t - 2, -1, -1):
+        acc = acc.mul(x).add(col(m))
+    return acc
+
+
+def _poly_eval_exp_limbs(grp, limbs, i: int, t: int):
+    """prod_m C[c, m]^{i^m} for stacked polynomial limbs (n, t, L) at
+    scalar i -> (n,) group elements."""
+    from vmn_tpu.arith.pgroup import GArray
+
+    ring = grp.ring
+    powers = []
+    acc = 1
+    for _ in range(t):
+        powers.append(acc)
+        acc = acc * i
+    e = ring.from_ints(powers)  # (t,)
+    powed = grp.ctx.exp(limbs, e.limbs, ring.nbits)  # (n, t, L)
+    return GArray(grp, grp.ctx.prod(powed, axis=1))
+
+
+def _poly_eval_exp_batch(grp, poly, i: int, n: int, t: int):
+    """(n*t,) base-group polynomial array -> (n,) evaluations at i."""
+    limbs = poly.limbs.reshape((n, t) + poly.limbs.shape[-1:])
+    return _poly_eval_exp_limbs(grp, limbs, i, t)
+
+
+def _batch_share_check(hom, grp, poly, share, i: int, n: int, t: int) -> bool:
+    """hom.g^share == poly(i) for all n coins at once (one device
+    check instead of n)."""
+    want = _poly_eval_exp_batch(grp, poly, i, n, t)
+    return hom.g.exp(share).equals(want)
+
+
 class _HomGenerator:
     """The restricted homomorphism (a, b) -> g^a h^b as a 'generator'
     consumed by the Pedersen machinery (reference: BiExpProd restricted
@@ -94,25 +180,130 @@ class CoinFlipPRingSource:
     # ------------------------------------------------------------ prepare
 
     def prepare_coins(self, n: int) -> None:
-        """Deal `n` coins ahead of use: every party VSS-shares a random
-        pair; instances collapse by summation."""
-        from vmn_tpu.protocol.secretsharing.pedersen import (
-            run_pedersen_sequential,
-        )
+        """Deal `n` coins ahead of use in ONE batched VSS instance per
+        dealer: each dealer shares n random pairs at once — one
+        Polynomial publish of n*t commitments, one n-share message per
+        recipient, one complaint bit per dealer — and the instances
+        collapse by summation.  Device work is n-vectorized (the
+        per-coin sequential dealing cost hundreds of tiny device
+        dispatches).  Granularity note: a dealer that misbehaves on ANY
+        coin of the batch is disqualified for the WHOLE batch — strictly
+        more conservative than the reference's per-instance
+        disqualification, with the same correctness (coins sum over the
+        qualified dealers).  Reference: prepareCoins,
+        CoinFlipPRingSource.java:153; PedersenSequential collapse."""
+        if n <= 0:
+            return
+        from vmn_tpu.eio.bytetree import ByteTree, ByteTreeError
 
-        for _ in range(n):
-            cid = self._counter
-            self._counter += 1
-            seq = run_pedersen_sequential(
-                self.ctx,
-                self.board.scope(f"coin{cid:03d}"),
-                self.rs,
-                dealers=range(1, self.board.k + 1),
-                cipher=self.cipher,
-                group=self.hom,
-                threshold=self.ctx.par.threshold,
-            )
-            self._prepared.append((cid, seq))
+        first = self._counter
+        self._counter += n
+        ctx = self.ctx
+        hom = self.hom
+        ring = hom.ring
+        grp = ctx.pgroup
+        t = ctx.par.threshold
+        k = self.board.k
+        j = self.board.j
+        b = self.board.scope(f"deal{first:03d}x{n:03d}")
+        cipher = self.cipher or _NullCipher()
+
+        share_sum = None  # (n,) ring pair
+        poly_sum = None  # (n*t,) base-group commitments
+
+        for d in range(1, k + 1):
+            bd = b.scope(f"d{d:02d}")
+            if j == d:
+                coeffs = ring.random((n, t), self.rs, ctx.rbitlen)
+                poly = hom.g.exp(_pp_reshape(coeffs, (n * t,)))
+                bd.publish(
+                    "Polynomial", poly.to_bytetree().to_bytes()
+                )
+                for i in range(1, k + 1):
+                    s_i = _eval_poly_batch(ring, coeffs, i)
+                    bd.publish(
+                        f"Share{i:02d}",
+                        cipher.encrypt(
+                            i, s_i.to_bytetree().to_bytes()
+                        ),
+                    )
+                share = _eval_poly_batch(ring, coeffs, j)
+                complain = False
+            else:
+                try:
+                    poly = grp.elem_from_bytetree(
+                        ByteTree.from_bytes(
+                            bd.wait_for(d, "Polynomial")
+                        ),
+                        n * t,
+                    )
+                except (ByteTreeError, ValueError):
+                    bd.publish("Complaint", b"\x01")
+                    for l in range(1, k + 1):
+                        if l != j:
+                            bd.wait_for(l, "Complaint")
+                    continue  # dealer disqualified (malformed poly)
+                try:
+                    share = ring.from_bytetree(
+                        ByteTree.from_bytes(cipher.decrypt(
+                            bd.wait_for(d, f"Share{j:02d}")
+                        )),
+                        n,
+                    )
+                    complain = not _batch_share_check(
+                        hom, grp, poly, share, j, n, t
+                    )
+                except Exception:  # malformed/undecryptable share
+                    share = None
+                    complain = True
+            bd.publish("Complaint", b"\x01" if complain else b"\x00")
+            complainers = []
+            for l in range(1, k + 1):
+                c = (
+                    (b"\x01" if complain else b"\x00")
+                    if l == j
+                    else bd.wait_for(l, "Complaint")
+                )
+                if c and c[0] == 1 and l != d:
+                    complainers.append(l)
+            ok = True
+            for i in complainers:
+                if j == d:
+                    s_i = _eval_poly_batch(
+                        ring, coeffs, i
+                    )
+                    bd.publish(f"OpenShare{i:02d}",
+                               s_i.to_bytetree().to_bytes())
+                    opened = s_i
+                else:
+                    try:
+                        opened = ring.from_bytetree(
+                            ByteTree.from_bytes(
+                                bd.wait_for(d, f"OpenShare{i:02d}")
+                            ),
+                            n,
+                        )
+                    except (ByteTreeError, ValueError):
+                        ok = False
+                        continue
+                if not _batch_share_check(hom, grp, poly, opened, i, n, t):
+                    ok = False
+                elif i == j:
+                    share = opened
+            if not ok or share is None:
+                continue  # dealer disqualified for the batch
+            share_sum = share if share_sum is None else share_sum.add(share)
+            poly_sum = poly if poly_sum is None else poly_sum.mul(poly)
+        if share_sum is None:
+            raise CoinFlipError("no qualified coin dealers")
+
+        poly_limbs = poly_sum.limbs.reshape((n, t) + poly_sum.limbs.shape[1:])
+        from vmn_tpu.arith.pgroup import GArray
+
+        for i in range(n):
+            self._prepared.append((first + i, _CoinView(
+                share_sum.get(i), GArray(grp, poly_limbs[i])
+            )))
 
     # ------------------------------------------------------------ collect
 
@@ -141,10 +332,18 @@ class CoinFlipPRingSource:
         t = self.ctx.par.threshold
         ring = self.hom.ring
 
+        import jax.numpy as jnp
+        import numpy as np
+
         my_bytes = node(
             *[seq.share.to_bytetree() for _, seq in batch]
         ).to_bytes()
         b.publish("Shares", my_bytes)
+        grp = self.ctx.pgroup
+        t_deg = batch[0][1].poly_in_exp.size
+        poly_stack = jnp.stack(
+            [seq.poly_in_exp.limbs for _, seq in batch]
+        )  # (ncoins, t, L)
         shares = [dict() for _ in batch]
         for l in range(1, self.board.k + 1):
             if all(len(s) >= t for s in shares):
@@ -159,17 +358,38 @@ class CoinFlipPRingSource:
                 continue
             if len(kids) != ncoins:
                 continue
-            for i, (cid, seq) in enumerate(batch):
-                if len(shares[i]) >= t:
-                    continue
+            parsed = []
+            for i in range(ncoins):
                 try:
-                    s = ring.from_bytetree(kids[i])
+                    parsed.append(ring.from_bytetree(kids[i]))
                 except (ByteTreeError, ValueError):
-                    continue
-                if self.hom.g.exp(s).equals(
-                    evaluate_poly_in_exp(seq.poly_in_exp, l)
-                ):
-                    shares[i][l] = s
+                    parsed.append(None)
+            idxs = [i for i, s in enumerate(parsed) if s is not None]
+            if not idxs:
+                continue
+            # ONE batched Feldman check for all of party l's opened
+            # shares: hom.g^s_i == poly_i(l) componentwise.
+            from vmn_tpu.arith.pgroup import FArray, PPFArray
+
+            sb = PPFArray(ring, tuple(
+                FArray(
+                    parsed[idxs[0]].components[c].field,
+                    jnp.stack([
+                        parsed[i].components[c].limbs for i in idxs
+                    ]),
+                )
+                for c in range(2)
+            ))
+            want = _poly_eval_exp_limbs(
+                grp, poly_stack[jnp.asarray(idxs)], l, t_deg
+            )
+            got = self.hom.g.exp(sb)
+            ok_rows = np.asarray(
+                jnp.all(got.limbs == want.limbs, axis=-1)
+            )
+            for row, i in enumerate(idxs):
+                if len(shares[i]) < t and ok_rows[row]:
+                    shares[i][l] = parsed[i]
         out = []
         for i in range(ncoins):
             if len(shares[i]) < t:
