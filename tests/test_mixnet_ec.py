@@ -46,3 +46,81 @@ def test_ec_mix_and_verify(tmp_path):
     raw[-1] ^= 1
     f.write_bytes(bytes(raw))
     assert not FiatShamirVerifier(params, nizkp).verify().ok
+
+
+def test_ec_interactive_coinflip(tmp_path):
+    """Coin flipping (interactive challenger substrate) works over EC
+    groups — regression: the batched ModP dealing path raised
+    AttributeError on ECArray commitments."""
+    import threading
+
+    from vmn_tpu.protocol.coinflip import CoinFlipPRingSource
+    from vmn_tpu.protocol.com.board import LocalBoardHub
+    from vmn_tpu.protocol.context import ProtocolContext, ProtocolParams
+
+    k = 3
+    params = ProtocolParams(
+        sid="ECCoin", k=k, threshold=2, noninteractive=False,
+        pgroup=ECqPGroup.named("P-224"),
+    )
+    hub = LocalBoardHub(k)
+    outs = [None] * (k + 1)
+    errs = []
+
+    def go(j):
+        try:
+            ctx = ProtocolContext(params)
+            src = CoinFlipPRingSource(
+                ctx, hub.board(j), SeededSource(f"ec{j}".encode())
+            )
+            outs[j] = src.coin_bytes(8)
+        except Exception:  # noqa: BLE001
+            import traceback
+
+            errs.append(traceback.format_exc())
+
+    ths = [threading.Thread(target=go, args=(j,), daemon=True)
+           for j in range(1, k + 1)]
+    [t.start() for t in ths]
+    [t.join(timeout=600) for t in ths]
+    assert not errs, errs[0]
+    assert outs[1] == outs[2] == outs[3] and len(outs[1]) == 8
+
+
+def test_ec_product_group_random_array_stream_position():
+    """Batched EC point derivation must leave the PRG stream exactly
+    where the sequential derivation would (regression: speculative
+    chunk reads shifted the second factor of a product group)."""
+    from vmn_tpu.arith.pgroup import PPGroup
+    from vmn_tpu.crypto.hash import SHA256
+    from vmn_tpu.crypto.prg import PRGHeuristic
+
+    grp = ECqPGroup.named("P-256")
+    pp = PPGroup(grp, 2)
+    prg = PRGHeuristic(SHA256)
+    prg.set_seed(SHA256.hash(b"pp-ec"))
+    arr = pp.random_array(6, prg, 8)
+
+    # sequential host reference
+    prg2 = PRGHeuristic(SHA256)
+    prg2.set_seed(SHA256.hash(b"pp-ec"))
+    bits = grp.p.bit_length() + 8
+    nbytes = (bits + 7) // 8
+    extra = 8 * nbytes - bits
+
+    def seq_points(n):
+        pts = []
+        while len(pts) < n:
+            t = int.from_bytes(prg2.read_bytes(nbytes), "big")
+            if extra:
+                t >>= extra
+            x = t % grp.p
+            y = grp.curve_y(x)
+            if y is not None:
+                pts.append((x, y if y % 2 == 0 else grp.p - y))
+        return pts
+
+    want0 = seq_points(6)
+    want1 = seq_points(6)
+    assert arr.project(0).to_affine() == want0
+    assert arr.project(1).to_affine() == want1

@@ -468,12 +468,13 @@ class ECqPGroup:
         bits = self.p.bit_length() + rbitlen
         nbytes = (bits + 7) // 8
         extra = 8 * nbytes - bits
-        if self.p % 4 == 3:
+        if self.p % 4 == 3 and hasattr(prg, "unread"):
             xs_parts, ys_parts, got = [], [], 0
             while got < nelem:
                 k = max(2 * (nelem - got) + 16, 64)
+                chunk = prg.read_bytes(k * nbytes)
                 raw = np.frombuffer(
-                    prg.read_bytes(k * nbytes), np.uint8
+                    chunk, np.uint8
                 ).reshape(k, nbytes).copy()
                 if extra:
                     # the sequential derivation right-shifts the whole
@@ -493,6 +494,14 @@ class ECqPGroup:
                     xs_parts.append(jnp.take(x_m, take, axis=0))
                     ys_parts.append(jnp.take(y_m, take, axis=0))
                     got += len(idx)
+                if got >= nelem:
+                    # push the unused tail back so the stream position
+                    # matches the sequential derivation exactly (a
+                    # later draw from the SAME prg — e.g. the next
+                    # factor of a product group — must see it)
+                    consumed = int(idx[-1]) + 1
+                    if consumed < k:
+                        prg.unread(chunk[consumed * nbytes:])
             return ECArray(
                 self,
                 jnp.concatenate(xs_parts, axis=0),

@@ -603,7 +603,10 @@ class MontCtx:
         self._fb_tables = collections.OrderedDict()
         self._known_ints = collections.OrderedDict()
 
-    _FB_CACHE_MAX = 8
+    # Sized for a k-party verification round: g, pk, per-party keys and
+    # the session h0 can each hold a window-4 AND a window-8 entry, so a
+    # small cap would thrash (rebuilds cost a full device table build).
+    _FB_CACHE_MAX = 24
     _KNOWN_INT_MAX = 256
 
     # -------------------------------------------------------- conversions

@@ -61,6 +61,16 @@ class PRGHeuristic(PRG):
         self._counter = 0
         self._buffer = b""
 
+    def unread(self, data: bytes) -> None:
+        """Push unconsumed bytes back onto the stream head.
+
+        Used by batched consumers (EC point derivation) that read
+        candidates speculatively: pushing the unused tail back keeps
+        the stream position exactly where the sequential reference
+        derivation would leave it, so later draws from the same PRG
+        (e.g. the next factor of a product group) match."""
+        self._buffer = bytes(data) + self._buffer
+
     def read_bytes(self, n: int) -> bytes:
         if self._seed is None:
             raise ValueError("PRG not seeded")

@@ -194,6 +194,12 @@ class CoinFlipPRingSource:
         CoinFlipPRingSource.java:153; PedersenSequential collapse."""
         if n <= 0:
             return
+        if hasattr(self.ctx.pgroup, "from_affine"):
+            # EC base group: commitments are point arrays without the
+            # limb layout the batched path vectorizes over — use the
+            # generic per-coin dealing.
+            self._prepare_coins_generic(n)
+            return
         from vmn_tpu.eio.bytetree import ByteTree, ByteTreeError
 
         first = self._counter
@@ -305,6 +311,26 @@ class CoinFlipPRingSource:
                 share_sum.get(i), GArray(grp, poly_limbs[i])
             )))
 
+    def _prepare_coins_generic(self, n: int) -> None:
+        """Per-coin sequential dealing (any group)."""
+        from vmn_tpu.protocol.secretsharing.pedersen import (
+            run_pedersen_sequential,
+        )
+
+        for _ in range(n):
+            cid = self._counter
+            self._counter += 1
+            seq = run_pedersen_sequential(
+                self.ctx,
+                self.board.scope(f"coin{cid:03d}"),
+                self.rs,
+                dealers=range(1, self.board.k + 1),
+                cipher=self.cipher,
+                group=self.hom,
+                threshold=self.ctx.par.threshold,
+            )
+            self._prepared.append((cid, seq))
+
     # ------------------------------------------------------------ collect
 
     def _collect(self):
@@ -340,10 +366,12 @@ class CoinFlipPRingSource:
         ).to_bytes()
         b.publish("Shares", my_bytes)
         grp = self.ctx.pgroup
-        t_deg = batch[0][1].poly_in_exp.size
-        poly_stack = jnp.stack(
-            [seq.poly_in_exp.limbs for _, seq in batch]
-        )  # (ncoins, t, L)
+        batched_check = not hasattr(grp, "from_affine")
+        if batched_check:
+            t_deg = batch[0][1].poly_in_exp.size
+            poly_stack = jnp.stack(
+                [seq.poly_in_exp.limbs for _, seq in batch]
+            )  # (ncoins, t, L)
         shares = [dict() for _ in batch]
         for l in range(1, self.board.k + 1):
             if all(len(s) >= t for s in shares):
@@ -367,6 +395,16 @@ class CoinFlipPRingSource:
             idxs = [i for i, s in enumerate(parsed) if s is not None]
             if not idxs:
                 continue
+            if not batched_check:
+                # generic (EC) path: per-coin Feldman check
+                for i in idxs:
+                    if len(shares[i]) >= t:
+                        continue
+                    if self.hom.g.exp(parsed[i]).equals(
+                        evaluate_poly_in_exp(batch[i][1].poly_in_exp, l)
+                    ):
+                        shares[i][l] = parsed[i]
+                continue
             # ONE batched Feldman check for all of party l's opened
             # shares: hom.g^s_i == poly_i(l) componentwise.
             from vmn_tpu.arith.pgroup import FArray, PPFArray
@@ -380,12 +418,12 @@ class CoinFlipPRingSource:
                 )
                 for c in range(2)
             ))
-            want = _poly_eval_exp_limbs(
+            feld = _poly_eval_exp_limbs(
                 grp, poly_stack[jnp.asarray(idxs)], l, t_deg
             )
             got = self.hom.g.exp(sb)
             ok_rows = np.asarray(
-                jnp.all(got.limbs == want.limbs, axis=-1)
+                jnp.all(got.limbs == feld.limbs, axis=-1)
             )
             for row, i in enumerate(idxs):
                 if len(shares[i]) < t and ok_rows[row]:

@@ -63,15 +63,17 @@ class _Store:
         import hashlib
         from urllib.parse import quote
 
-        head, _, rest = label.partition("/")
-        if rest:
-            # one spool subdirectory per top-level scope (e.g.
-            # "session.<auxsid>") so `vmn -delete` can prune a whole
-            # session's spool (reference:
-            # MixNetElGamalSession.deleteState:136-150)
-            sub = self._dir / quote(head, safe="")
+        parts = label.split("/")
+        if len(parts) > 1:
+            # one spool subdirectory per scope SEGMENT (e.g.
+            # "session.<auxsid>/shuffle/...") so `delete_scope` of ANY
+            # scope prefix — root or nested — maps to one directory
+            # (reference: MixNetElGamalSession.deleteState:136-150)
+            sub = self._dir
+            for seg in parts[:-1]:
+                sub = sub / quote(seg, safe="")
             sub.mkdir(parents=True, exist_ok=True)
-            return sub / hashlib.sha256(rest.encode()).hexdigest()
+            return sub / hashlib.sha256(parts[-1].encode()).hexdigest()
         return self._dir / hashlib.sha256(label.encode()).hexdigest()
 
     def delete_scope(self, prefix: str):
@@ -83,7 +85,9 @@ class _Store:
             for k in [k for k in self._data if k.startswith(prefix + "/")]:
                 del self._data[k]
             if self._dir is not None:
-                sub = self._dir / quote(prefix, safe="")
+                sub = self._dir
+                for seg in prefix.split("/"):
+                    sub = sub / quote(seg, safe="")
                 if sub.exists():
                     shutil.rmtree(sub)
 
