@@ -125,3 +125,29 @@ def test_message_encoding(grp):
         pt = grp.encode_message(msg)
         assert grp.curve_y(pt[0]) is not None
         assert grp.decode_message(pt) == msg
+
+
+@pytest.mark.parametrize("name", ["P-224", "P-384", "P-521"])
+def test_point_ops_parity_all_curves(name):
+    """Scalar-mul/add parity on the remaining NIST curves — covers the
+    odd limb counts (14/24/33) the P-256 tests never exercise
+    (reference: vec-accelerated curves, demo/mixnet/.conf notes)."""
+    grp = ECqPGroup.named(name)
+    rs = SeededSource(f"ec-{name}".encode())
+    ks = [rs.random_int_mod(grp.n) for _ in range(3)] + [0, 1, 2]
+    G = (grp.gx, grp.gy)
+    want = [_ref_mul(grp, G, k) for k in ks]
+    e = grp.ring.from_ints(ks)
+    got = grp.to_affine(grp.g.exp(e))
+    assert got == want
+
+    # add/prod consistency: sum of the six multiples
+    pts = grp.g.exp(e)
+    total = pts.prod()
+    ksum = sum(ks) % grp.n
+    assert grp.to_affine(total)[0] == _ref_mul(grp, G, ksum)
+
+    # serialization round trip at this coordinate width
+    bt = pts.to_bytetree()
+    back = grp.elem_from_bytetree(bt, len(ks))
+    assert back.equals(pts)
