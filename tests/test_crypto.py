@@ -85,3 +85,40 @@ def test_random_int_mod():
     for mod in (1, 2, 17, 1 << 64):
         for _ in range(5):
             assert 0 <= s.random_int_mod(mod) < mod
+
+
+def test_provable_primitives_roundtrip():
+    """Provable hash functions and the PRGElGamal: determinism,
+    collision-sensitivity smoke, marshal round trip (reference:
+    provablehash/provableprg configs of the check matrix;
+    HashfunctionPedersen + HashfunctionMerkleDamgaard,
+    demo/mixnet/info_files:125-131)."""
+    from vmn_tpu.arith.pgroup import ModPGroup
+    from vmn_tpu.crypto.provable import (
+        HashfunctionMerkleDamgaard,
+        HashfunctionPedersen,
+        PRGElGamal,
+    )
+
+    group = ModPGroup.named("test256")
+    hp = HashfunctionPedersen(group)
+    n = hp.input_bytes
+    a = hp.hash(b"\x01" * n)
+    b = hp.hash(b"\x02" * n)
+    assert a != b and a == hp.hash(b"\x01" * n)
+
+    md = HashfunctionMerkleDamgaard(hp)
+    x = md.hash(b"arbitrary length input " * 7)
+    assert x == md.hash(b"arbitrary length input " * 7)
+    assert x != md.hash(b"arbitrary length input " * 6)
+
+    bt = md.to_bytetree()
+    md2 = HashfunctionMerkleDamgaard.from_bytetree(bt)
+    assert md2 == md and md2.hash(b"z") == md.hash(b"z")
+
+    prg = PRGElGamal(group)
+    prg.set_seed(b"\x07" * prg.min_seed_bytes)
+    s1 = prg.read_bytes(64)
+    prg2 = PRGElGamal(group)
+    prg2.set_seed(b"\x07" * prg2.min_seed_bytes)
+    assert prg2.read_bytes(64) == s1

@@ -132,3 +132,58 @@ def test_mix_and_verify(tmp_path, k, threshold):
     reply.write_bytes(bytes(raw))
     res2 = FiatShamirVerifier(params, nizkp).verify()
     assert not res2.ok
+
+
+def test_external_key_shuffle_and_verify(tmp_path):
+    """External-key mode: `vmn -setpk` + shuffle-only sessions against
+    a key generated elsewhere — no secret shares, no decryption
+    (reference: MixNetElGamal.setPublicKey:227-242 and the
+    external-key-shuffle flows of demo/mixnet/check)."""
+    from vmn_tpu.protocol.elgamal import ElGamalPublicKey
+
+    group = ModPGroup.named("test256")
+    params = ProtocolParams(
+        sid="Ext", k=1, threshold=1, pgroup=group,
+    )
+    hub = LocalBoardHub(1)
+    party = MixNetParty(
+        params, hub.board(1), SeededSource(b"ext-party"),
+        str(tmp_path / "P1"),
+    )
+    # the external key: y = g^x for an x nobody in the protocol holds
+    x = 123456789
+    key_grp = party.ctx.key_group()
+    pk = ElGamalPublicKey(key_grp.g, key_grp.g.exp(
+        key_grp.ring.from_int(x)
+    ))
+    party.set_public_key(pk)
+
+    msgs = [group.encode_message(f"{i:08d}".encode()) for i in range(5)]
+    m = group.from_ints(msgs)
+    r = group.ring.random((5,), SeededSource(b"ext-enc"), 0)
+    ciphs = elgamal.encrypt(pk, m, r)
+
+    session = party.session("ext", 1)
+    out = session.shuffle(ciphs)
+
+    # the shuffled list decrypts (externally, with x) to the same
+    # multiset
+    u, v = out.project(0), out.project(1)
+    f = u.exp(group.ring.from_int(x))
+    plain = v.div(f)
+    assert sorted(plain.to_ints()) == sorted(msgs)
+
+    nizkp = tmp_path / "P1" / "nizkp.ext"
+    res = FiatShamirVerifier(params, nizkp).verify(
+        expected_type="shuffling"
+    )
+    assert res.ok
+
+    # a fresh party in the same directory resumes the persisted
+    # external key (reference: ExternalPublicKey.bt cache)
+    p2 = MixNetParty(
+        params, hub.board(1), SeededSource(b"other"),
+        str(tmp_path / "P1"),
+    )
+    p2.load_keys()
+    assert p2.full_public_key().y.equals(pk.y)

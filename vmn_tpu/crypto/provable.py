@@ -123,7 +123,7 @@ class HashfunctionPedersen:
     @classmethod
     def from_bytetree(cls, bt: ByteTree) -> "HashfunctionPedersen":
         group = ModPGroup.from_bytetree(bt[0])
-        return cls(group, bt[1].to_int(), bt[2].data)
+        return cls(group, bt[1].to_u32(), bt[2].data)
 
     def __eq__(self, other):
         return (isinstance(other, HashfunctionPedersen)
