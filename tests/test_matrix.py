@@ -188,3 +188,21 @@ def test_arrays_file_mix_and_verify(tmp_path):
     finally:
         storage.MIN_SPILL_BYTES = saved
         storage.set_backend("ram")
+
+
+def test_provable_primitives_mix_and_verify(tmp_path):
+    """Full mix + standalone verification with PROVABLE primitives:
+    PRGElGamal batching vectors and a Pedersen/Merkle-Damgaard random
+    oracle hash (reference: `provablehash`/`provableprg` configs of
+    demo/mixnet/check; info_files:125-131)."""
+    params = ProtocolParams(
+        sid="Prov", k=1, threshold=1,
+        pgroup=ModPGroup.named("test256"),
+        prg_name="elgamal:test256:4:64",
+        rohash_name="pedersen:test256",
+    )
+    _, _, nizkp = _run_mix(tmp_path, params, width=1)
+    res = FiatShamirVerifier(params, nizkp).verify(
+        expected_type="mixing"
+    )
+    assert res.ok
