@@ -465,6 +465,9 @@ class ECqPGroup:
         exactly the sequential derivation's points (the per-candidate
         host loop with a Python modpow each cost seconds per session).
         """
+        if nelem == 0:
+            z = jnp.zeros((0, self.L), jnp.uint32)
+            return ECArray(self, z, z, jnp.zeros((0,), bool))
         bits = self.p.bit_length() + rbitlen
         nbytes = (bits + 7) // 8
         extra = 8 * nbytes - bits

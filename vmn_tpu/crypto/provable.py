@@ -228,6 +228,12 @@ class PRGElGamal(PRG):
         self._bitbuf = 0
         self._bitcnt = 0
 
+    def unread(self, data: bytes) -> None:
+        """Push unconsumed bytes back onto the stream head (same
+        contract as PRGHeuristic.unread; used by batched EC point
+        derivation)."""
+        self._buffer = bytes(data) + self._buffer
+
     def read_bytes(self, n: int) -> bytes:
         if self._x is None:
             raise ValueError("PRG not seeded")
@@ -253,8 +259,8 @@ class PRGElGamal(PRG):
 
     @classmethod
     def from_bytetree(cls, bt: ByteTree) -> "PRGElGamal":
-        return cls(ModPGroup.from_bytetree(bt[0]), bt[1].to_int(),
-                   bt[2].to_int())
+        return cls(ModPGroup.from_bytetree(bt[0]), bt[1].to_u32(),
+                   bt[2].to_u32())
 
     def __repr__(self):
         return (f"PRGElGamal({self.group.p.bit_length()},{self.width},"

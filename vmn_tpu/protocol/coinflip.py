@@ -169,6 +169,10 @@ class CoinFlipPRingSource:
             # the non-interactive equivalent, IndependentGeneratorsRO).
             h = ctx.independent_generators("coinflipgen", 1).get(0)
         self.hom = _HomGroup(base, h)
+        # ModP base groups have single-limb-array commitments that the
+        # batched dealing/collection paths can stack; EC (and any
+        # future non-limb group) uses the generic per-coin paths.
+        self._batched = not hasattr(base, "from_affine")
         self._prepared = []  # list of SequentialResult
         self._counter = 0
         # When set, the first collect tops the prepared pool up to this
@@ -194,7 +198,7 @@ class CoinFlipPRingSource:
         CoinFlipPRingSource.java:153; PedersenSequential collapse."""
         if n <= 0:
             return
-        if hasattr(self.ctx.pgroup, "from_affine"):
+        if not self._batched:
             # EC base group: commitments are point arrays without the
             # limb layout the batched path vectorizes over — use the
             # generic per-coin dealing.
@@ -366,7 +370,7 @@ class CoinFlipPRingSource:
         ).to_bytes()
         b.publish("Shares", my_bytes)
         grp = self.ctx.pgroup
-        batched_check = not hasattr(grp, "from_affine")
+        batched_check = self._batched
         if batched_check:
             t_deg = batch[0][1].poly_in_exp.size
             poly_stack = jnp.stack(
@@ -389,9 +393,18 @@ class CoinFlipPRingSource:
             parsed = []
             for i in range(ncoins):
                 try:
-                    parsed.append(ring.from_bytetree(kids[i]))
+                    sp = ring.from_bytetree(kids[i])
+                    # enforce SCALAR pairs: a malicious array-shaped
+                    # share must not crash the batched stack below
+                    if any(
+                        getattr(c, "limbs", None) is None
+                        or c.limbs.ndim != 1
+                        for c in sp.components
+                    ):
+                        sp = None
                 except (ByteTreeError, ValueError):
-                    parsed.append(None)
+                    sp = None
+                parsed.append(sp)
             idxs = [i for i, s in enumerate(parsed) if s is not None]
             if not idxs:
                 continue
