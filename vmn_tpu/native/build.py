@@ -104,7 +104,7 @@ def jacobi_batch(raw, p_bytes: bytes, nthreads: int = 0):
         eb = len(p_bytes)
     out = np.empty(n, np.uint8)
     if nthreads <= 0:
-        nthreads = min(16, os.cpu_count() or 1)
+        nthreads = min(32, os.cpu_count() or 1)
     rc = lib.jacobi_batch(
         raw.ctypes.data_as(ctypes.c_char_p), n, eb,
         p_bytes, len(p_bytes), nthreads,

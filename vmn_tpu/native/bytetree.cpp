@@ -265,39 +265,43 @@ inline int bignum_ctz(const u64 *a, int W) {
 }
 
 // Jacobi symbol (a|n) for odd n; destroys a and n.  Returns 0 when
-// gcd(a, n) > 1.
+// gcd(a, n) > 1.  The active width shrinks as the values shrink
+// (they lose ~1 bit per subtract/shift round), roughly halving the
+// average per-iteration work versus fixed-width loops.
 int jacobi_one(u64 *a, u64 *n, int W) {
     int t = 1;
+    int w = W;
     for (;;) {
-        if (bignum_is_zero(a, W)) {
+        while (w > 1 && a[w - 1] == 0 && n[w - 1] == 0) --w;
+        if (bignum_is_zero(a, w)) {
             u64 acc = n[0] ^ 1;
-            for (int i = 1; i < W; ++i) acc |= n[i];
+            for (int i = 1; i < w; ++i) acc |= n[i];
             return acc == 0 ? t : 0;
         }
-        int k = bignum_ctz(a, W);
+        int k = bignum_ctz(a, w);
         if (k) {
             int big = k / 64;
             if (big) {
-                for (int i = 0; i + big < W; ++i) a[i] = a[i + big];
-                for (int i = W - big; i < W; ++i) a[i] = 0;
+                for (int i = 0; i + big < w; ++i) a[i] = a[i + big];
+                for (int i = w - big; i < w; ++i) a[i] = 0;
             }
             unsigned rem = (unsigned)(k % 64);
-            if (rem) bignum_shr_small(a, W, rem);
+            if (rem) bignum_shr_small(a, w, rem);
             if (k & 1) {
                 unsigned r = (unsigned)(n[0] & 7);
                 if (r == 3 || r == 5) t = -t;
             }
         }
         // a odd
-        if (bignum_cmp(a, n, W) < 0) {
+        if (bignum_cmp(a, n, w) < 0) {
             if ((a[0] & 3) == 3 && (n[0] & 3) == 3) t = -t;
-            for (int i = 0; i < W; ++i) {
+            for (int i = 0; i < w; ++i) {
                 u64 tmp = a[i];
                 a[i] = n[i];
                 n[i] = tmp;
             }
         }
-        bignum_sub(a, n, W);
+        bignum_sub(a, n, w);
     }
 }
 
