@@ -135,6 +135,60 @@ def test_kernels_match_xla_path(ctx):
     assert np.array_equal(np.asarray(xla), np.asarray(pal))
 
 
+def test_mont_expprod_pallas_interpret(ctx):
+    """Digit-position-parallel multi-exp kernel vs Python bignum, over
+    several batch sizes (padding paths) and exponent bit bounds."""
+    from vmn_tpu.ops.mont_kernels import mont_expprod_pallas
+
+    m = ctx.m
+    rng = np.random.default_rng(11)
+    for N, nbits in [(5, 256), (160, 256), (300, 100), (64, 16)]:
+        b_ints = [int.from_bytes(rng.bytes(31), "big") % m
+                  for _ in range(N)]
+        e_ints = [
+            int.from_bytes(rng.bytes((nbits + 7) // 8), "big")
+            % (1 << nbits)
+            for _ in range(N)
+        ]
+        # edge exponents: zero and the max bound
+        e_ints[0] = 0
+        e_ints[-1] = (1 << nbits) - 1
+        b = jnp.asarray(_to_mont_np(ctx, b_ints))
+        e = jnp.asarray(np.stack([int_to_limbs(x, ctx.L) for x in e_ints]))
+        with pltpu.force_tpu_interpret_mode():
+            out = mont_expprod_pallas(
+                b, e, ctx.m_limbs, ctx.mprime, ctx.one_mont, nbits
+            )
+        got = _from_mont_ints(ctx, np.asarray(out)[None])[0]
+        want = 1
+        for x, k in zip(b_ints, e_ints):
+            want = want * pow(x, k, m) % m
+        assert got == want, (N, nbits)
+
+
+def test_mont_expprod_matches_host_straus(ctx):
+    """Fused kernel vs the host-tree Straus path on a random batch."""
+    from vmn_tpu.arith import mont as mont_mod
+
+    rng = np.random.default_rng(13)
+    N = 200
+    a_ints = [int.from_bytes(rng.bytes(31), "big") % ctx.m
+              for _ in range(N)]
+    e_ints = [int.from_bytes(rng.bytes(32), "big") for _ in range(N)]
+    a = jnp.asarray(_to_mont_np(ctx, a_ints))
+    e = jnp.asarray(np.stack([int_to_limbs(x, ctx.L) for x in e_ints]))
+    host = mont_mod._expprod_shared(
+        a, e, ctx.m_limbs, ctx.mprime, ctx.one_mont, 256, False
+    )
+    from vmn_tpu.ops.mont_kernels import mont_expprod_pallas
+
+    with pltpu.force_tpu_interpret_mode():
+        pal = mont_expprod_pallas(
+            a, e, ctx.m_limbs, ctx.mprime, ctx.one_mont, 256
+        )
+    assert np.array_equal(np.asarray(host), np.asarray(pal))
+
+
 # ---------------------------------------------------------- EC kernels
 
 

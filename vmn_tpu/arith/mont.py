@@ -383,6 +383,16 @@ def _expprod_shared(bases, e, m, mprime, one_mont, nbits: int,
     return acc[0]
 
 
+def _expprod_fast(bases, e, m, mprime, one_mont, nbits: int, pallas: bool):
+    """Multi-exp dispatch: fused digit-position-parallel Pallas kernels
+    for device-sized batches, host-tree Straus otherwise."""
+    if pallas and bases.shape[0] >= 64:
+        from vmn_tpu.ops.mont_kernels import mont_expprod_pallas
+
+        return mont_expprod_pallas(bases, e, m, mprime, one_mont, nbits)
+    return _expprod_shared(bases, e, m, mprime, one_mont, nbits, pallas)
+
+
 @functools.partial(jax.jit, static_argnames=("entries", "pallas"))
 def _fb_table_scan(bases, m, mprime, one_mont, entries: int, pallas: bool):
     """Fixed-base window table on device: T[j, d] = bases_j^d.
@@ -727,9 +737,10 @@ class MontCtx:
                     nbits, False,
                 )
         if bases.ndim == 2 and e.ndim == 2 and bases.shape[0] >= 16:
-            # Shared-squaring Straus multi-exp: ~4-5x fewer products
+            # Shared-squaring multi-exp: fused Yao kernels on device,
+            # host-tree Straus otherwise — both ~4-5x fewer products
             # than per-element exp + product tree.
-            return _expprod_shared(
+            return _expprod_fast(
                 bases, e, self.m_limbs, self.mprime, self.one_mont,
                 nbits, use_pallas(),
             )

@@ -216,7 +216,7 @@ def sharded_sum(x, m, mesh, axis):
 @functools.lru_cache(maxsize=None)
 def _expprod_fn(mesh: Mesh, axis: str, pallas: bool, nbits: int):
     def local(bases, e, m, mp, one):
-        part = mont._expprod_shared(bases, e, m, mp, one, nbits, pallas)
+        part = mont._expprod_fast(bases, e, m, mp, one, nbits, pallas)
         parts = jax.lax.all_gather(part, axis)  # (s, L)
         return mont._prod_tree(parts, m, mp, one, False)[None]
 

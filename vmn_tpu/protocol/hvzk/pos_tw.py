@@ -271,47 +271,72 @@ class PoSVerifier:
         self.k_A, self.k_B, self.k_C = k_A, k_B, k_C
         self.k_D, self.k_E, self.k_F = k_D, k_E, k_F
 
-        # All five equations are dispatched before the single device
-        # fetch at the end: the per-equation .equals() host syncs
-        # serialized device work against the host (one round trip per
-        # equation over a remote device link).
+        # All equations are dispatched before the single device fetch at
+        # the end: per-equation .equals() host syncs would serialize
+        # device work against the host (one round trip per equation over
+        # a remote device link).
         checks = []
 
-        # A: A^v Ap == g^{k_A} prod h^{k_E}
-        checks.append(_eq_device(
-            self.A.exp_mul(v, self.Ap),
-            self.g.exp(k_A).mul(self.h.exp_prod(k_E)),
-        ))
-
-        # B: B_i^v Bp_i == g^{k_B_i} Bshift_i^{k_E_i}, checked as ONE
-        # random linear combination with verifier-LOCAL 100-bit
-        # weights alpha (soundness 2^-100, the protocol's statistical
-        # parameter): a cheater satisfying the combination must hit
-        # sum alpha_i*d_i == 0 mod q for a fixed nonzero d.  This
-        # turns N variable-base full-size exponentiations into
-        # shared-squaring multi-exps — the verifier's dominant cost
-        # (the reference checks the N equations elementwise with the
-        # same array ops, PoSBasicTW.java:1030-1043; the random
-        # combination is the TPU-shaped equivalent).
-        bshift = self.B.shift_push(h0)
-        alpha = ring.random_bits(n, _BATCH_CHECK_BITS, _local_rs())
-        lhs = self.B.exp_prod(alpha, _BATCH_CHECK_BITS).exp(v).mul(
-            self.Bp.exp_prod(alpha, _BATCH_CHECK_BITS)
-        )
-        rhs = self.g.exp(k_B.inner_product(alpha)).mul(
-            bshift.exp_prod(k_E.mul(alpha))
-        )
-        checks.append(_eq_device(lhs, rhs))
-
-        # C, D
+        # C, D (scalar equations)
         checks.append(_eq_device(C.exp_mul(v, self.Cp), self.g.exp(k_C)))
         checks.append(_eq_device(D.exp_mul(v, self.Dp), self.g.exp(k_D)))
 
-        # F: F^v Fp == pk^{-k_F} prod wp^{k_E}
-        checks.append(_eq_device(
-            self.F.exp_mul(v, self.Fp),
-            self.pkey.exp(k_F.neg()).mul(self.wp.exp_prod(k_E)),
-        ))
+        # A, B and F carry the N-array multi-exponentiations; they are
+        # checked as ONE random linear combination with verifier-LOCAL
+        # 100-bit weights (soundness 2^-100, the protocol's statistical
+        # parameter; the reference checks them as separate array
+        # equations with the same array ops, PoSBasicTW.java:1000-1066 —
+        # the random combination is the TPU-shaped equivalent, see
+        # docs/DEVIATIONS.md).
+        #
+        #   A:   A^v Ap       == g^{k_A} prod_i h_i^{k_E_i}
+        #   B_i: B_i^v Bp_i   == g^{k_B_i} Bshift_i^{k_E_i}  (i < n)
+        #   F_c: F_c^v Fp_c   == S_c prod_i wp_c,i^{k_E_i},  S = pk^{-k_F}
+        #
+        # The B rows fold with per-row weights alpha_i; the A row gets
+        # weight 1 and rows B, F_c scalar weights rho.  Every k_E-power
+        # then collapses into ONE full-size multi-exp over the merged
+        # base M_i = h_i · Bshift_i^{rho_B alpha_i} · prod_c wp_c,i^{rho_c}:
+        #
+        #   (A^v Ap) · LB^{rho_B} · prod_c (F_c^v Fp_c)^{rho_c}
+        #     == g^{k_A + rho_B <k_B, alpha>} · prod_c S_c^{rho_c}
+        #        · prod_i M_i^{k_E_i}
+        #
+        # where LB = (prod B_i^{alpha_i})^v prod Bp_i^{alpha_i}.  The
+        # short-exponent work (100/200-bit) replaces three additional
+        # full-size multi-exps — the standalone verifier's former
+        # dominant cost.
+        rs = _local_rs()
+        alpha = ring.random_bits(n, _BATCH_CHECK_BITS, rs)
+        rho_bits = min(2 * _BATCH_CHECK_BITS, ring.nbits)
+
+        def rho():
+            return ring.random_bits(1, _BATCH_CHECK_BITS, rs).get(0)
+
+        bshift = self.B.shift_push(h0)
+        rho_B = rho()
+        wp_flat = _flat_garrays(self.wp)
+        F_flat = _flat_garrays(self.F)
+        Fp_flat = _flat_garrays(self.Fp)
+        S_flat = _flat_garrays(self.pkey.exp(k_F.neg()))
+        rho_F = [rho() for _ in wp_flat]
+
+        merged = self.h.mul(bshift.exp_bits(alpha.mul(rho_B), rho_bits))
+        for rc, wpc in zip(rho_F, wp_flat):
+            merged = merged.mul(wpc.exp_bits(rc, _BATCH_CHECK_BITS))
+        rhs = merged.exp_prod(k_E)
+
+        LB = self.B.exp_prod(alpha, _BATCH_CHECK_BITS).exp(v).mul(
+            self.Bp.exp_prod(alpha, _BATCH_CHECK_BITS)
+        )
+        lhs = self.A.exp_mul(v, self.Ap).mul(
+            LB.exp_bits(rho_B, _BATCH_CHECK_BITS)
+        )
+        scal = self.g.exp(k_A.add(k_B.inner_product(alpha).mul(rho_B)))
+        for rc, Fc, Fpc, Sc in zip(rho_F, F_flat, Fp_flat, S_flat):
+            lhs = lhs.mul(Fc.exp_mul(v, Fpc).exp_bits(rc, _BATCH_CHECK_BITS))
+            scal = scal.mul(Sc.exp_bits(rc, _BATCH_CHECK_BITS))
+        checks.append(_eq_device(lhs, rhs.mul(scal)))
 
         return _all_checks(checks)
 
@@ -320,6 +345,18 @@ class PoSVerifier:
 
 
 _BATCH_CHECK_BITS = 100  # statistical soundness of batched equation checks
+
+
+def _flat_garrays(x):
+    """Flatten a (possibly nested) product-group array into its base
+    group components — every leaf lives in the same base group, so the
+    merged batch equation can combine them directly."""
+    if hasattr(x, "components"):
+        out = []
+        for c in x.components:
+            out.extend(_flat_garrays(c))
+        return out
+    return [x]
 
 
 def _local_rs():

@@ -82,10 +82,18 @@ class FiatShamirVerifier:
         activates every dotted name under it, exactly like the
         reference name check (reference:
         MixNetElGamalVerifyFiatShamir.checkTestVector:399-409,
-        checkPrintTestVector:418-430)."""
+        checkPrintTestVector:418-430).
+
+        `value` may be a zero-arg callable: it is only invoked when the
+        name is actually requested.  Serializing a 2048-bit N-array for
+        a test vector costs a full device fetch — evaluated eagerly for
+        DISABLED vectors it dominated standalone verification time
+        (profiled at ~18 s of 68 s at N=65536)."""
         if name in self.tv_names or (
             "." in name and name.split(".", 1)[0] in self.tv_names
         ):
+            if callable(value):
+                value = value()
             self.tv[name] = str(value)
 
     def _fail(self, msg: str):
@@ -112,6 +120,53 @@ class FiatShamirVerifier:
                check_ccpos: bool = True,
                expected_width: Optional[int] = None,
                sloppy: bool = False) -> VerificationResult:
+        """Optimistic verification: host-side subgroup-membership checks
+        (native batch Jacobi) run on a worker pool OVERLAPPED with the
+        device equation work, and are joined before the verdict.  If any
+        deferred check fails — only possible on Byzantine transcripts —
+        the whole verification reruns with inline checks, reproducing
+        the reference's per-array malformed-input semantics exactly
+        (reference: ModPGroup.toElementArray membership verification)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from vmn_tpu.arith.pgroup import deferred_membership
+
+        kw = dict(
+            expected_type=expected_type, expected_auxsid=expected_auxsid,
+            check_pos=check_pos, check_dec=check_dec,
+            check_posc=check_posc, check_ccpos=check_ccpos,
+            expected_width=expected_width, sloppy=sloppy,
+        )
+        futures = []
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            try:
+                with deferred_membership(
+                    lambda thunk: futures.append(pool.submit(thunk))
+                ):
+                    res = self._verify_inner(**kw)
+            except VerificationError:
+                if self._membership_ok(futures):
+                    raise
+                return self._verify_inner(**kw)
+            if self._membership_ok(futures):
+                return res
+        return self._verify_inner(**kw)
+
+    @staticmethod
+    def _membership_ok(futures) -> bool:
+        try:
+            return all(f.result() for f in futures)
+        except Exception:
+            return False
+
+    def _verify_inner(self, expected_type: Optional[str] = None,
+                      expected_auxsid: Optional[str] = None,
+                      check_pos: bool = True,
+                      check_dec: bool = True,
+                      check_posc: bool = True,
+                      check_ccpos: bool = True,
+                      expected_width: Optional[int] = None,
+                      sloppy: bool = False) -> VerificationResult:
         nz = self.nizkp
 
         # Version (reference: verifyVersion).
@@ -189,7 +244,7 @@ class FiatShamirVerifier:
                     self.proofs / f"Ciphertexts{active_threshold:02d}.bt"
                 )
             ciphs = ciph_group.elem_from_bytetree(bt)
-            self._tv("bas.L_0", bt.to_bytes().hex())
+            self._tv("bas.L_0", lambda bt=bt: bt.to_bytes().hex())
         n = ciphs.size if ciphs is not None else 0
 
         shuffle_ok = True
@@ -225,7 +280,8 @@ class FiatShamirVerifier:
                 ctx, width, ciph_group, ciphs, n, active_threshold, fpk
             )
         generators = ctx.independent_generators("generators", n)
-        self._tv("bas.h", generators.to_bytetree().to_bytes().hex())
+        self._tv("bas.h",
+                 lambda: generators.to_bytetree().to_bytes().hex())
         g = ctx.pgroup.g
         wide_pk_elem = fpk.widen(width).as_ciph_elem()
         pos_par = PoSParams(ctx.vbitlen, ctx.ebitlen, ctx.rbitlen, ctx.prg)
@@ -246,7 +302,7 @@ class FiatShamirVerifier:
                 out = ciph_group.elem_from_bytetree(out_bt, n)
             except (ByteTreeError, ValueError):
                 self._fail(f"malformed output list of party {l}")
-            self._tv("bas.L_l", out_bt.to_bytes().hex())
+            self._tv("bas.L_l", lambda bt=out_bt: bt.to_bytes().hex())
 
             V = PoSVerifier(pos_par)
             V.precompute(g, generators)
@@ -255,7 +311,7 @@ class FiatShamirVerifier:
             u_file = self.proofs / f"PermutationCommitment{l:02d}.bt"
             u_bt = self._read_bt(u_file) if u_file.exists() else None
             V.set_permutation_commitment(u_bt)
-            self._tv("u", V.u.to_bytetree().to_bytes().hex())
+            self._tv("u", lambda: V.u.to_bytetree().to_bytes().hex())
 
             seed = ctx.challenger.challenge(
                 pos_seed_data(g, generators, V.u, wide_pk_elem, inp, out),
@@ -265,15 +321,18 @@ class FiatShamirVerifier:
             self._tv("PoS.s", seed.hex())
             V.set_batch_vector(seed)
             V.compute_AF()
-            self._tv("PoS.A", V.A.to_bytetree().to_bytes().hex())
-            self._tv("PoS.F", V.F.to_bytetree().to_bytes().hex())
+            self._tv("PoS.A", lambda: V.A.to_bytetree().to_bytes().hex())
+            self._tv("PoS.F", lambda: V.F.to_bytetree().to_bytes().hex())
 
             commitment = V.set_commitment(self._read_bt(pc_file))
             for name, val in (
                 ("PoS.B", V.B), ("PoS.Ap", V.Ap), ("PoS.Bp", V.Bp),
                 ("PoS.Cp", V.Cp), ("PoS.Dp", V.Dp), ("PoS.Fp", V.Fp),
             ):
-                self._tv(name, val.to_bytetree().to_bytes().hex())
+                self._tv(
+                    name,
+                    lambda v=val: v.to_bytetree().to_bytes().hex(),
+                )
             v_bytes = ctx.challenger.challenge(
                 pos_challenge_data(seed, commitment),
                 ctx.vbitlen, ctx.rbitlen,
@@ -293,7 +352,10 @@ class FiatShamirVerifier:
                     ("PoS.k_C", V.k_C), ("PoS.k_D", V.k_D),
                     ("PoS.k_E", V.k_E), ("PoS.k_F", V.k_F),
                 ):
-                    self._tv(name, val.to_bytetree().to_bytes().hex())
+                    self._tv(
+                        name,
+                        lambda v=val: v.to_bytetree().to_bytes().hex(),
+                    )
             if verdict:
                 valid += 1
             else:
