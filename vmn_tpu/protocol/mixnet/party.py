@@ -1316,14 +1316,28 @@ def _lagrange_ints(field, correct, k, threshold):
     return idxs, out
 
 
+def _exp_small(arr, lam: int, field):
+    """arr^lam for a small SIGNED host-known integer lam — the whole
+    point of the reference's modified Lagrange coefficients
+    (DistrElGamalSessionBasic:358-452) is that they are small ints, so
+    exponentiate with |lam|'s actual bit length instead of a full-size
+    field exponent (lam=1 at k=1 cost a full 2048-bit N-array
+    exponentiation, ~12 s at N=65536)."""
+    if lam < 0:
+        arr = arr.inv()
+        lam = -lam
+    if lam == 1:
+        return arr
+    return arr.exp_bits(field.from_int(lam), max(1, lam.bit_length()))
+
+
 def _combine_factors(factors, correct, k, threshold, field):
     """prod_l f_l^{lambda_l} over the first `threshold` correct parties
     (reference: combineDecryptionFactors:465-503)."""
     idxs, lags = _lagrange_ints(field, correct, k, threshold)
     acc = None
     for i, lam in zip(idxs, lags):
-        e = field.from_int(lam)  # mod q (sound: element order q)
-        term = factors[i].exp(e)
+        term = _exp_small(factors[i], lam, field)
         acc = term if acc is None else acc.mul(term)
     return acc
 
@@ -1337,12 +1351,11 @@ def _verify_combined(field, g, A, joint_y, combined_f, e, ebitlen,
     cBp = None
     ckx = None
     for i, lam in zip(idxs, lags):
-        lam_f = field.from_int(lam)
-        typ = yps[i].exp(lam_f)
-        tBp = Bps[i].exp(lam_f)
+        typ = _exp_small(yps[i], lam, field)
+        tBp = _exp_small(Bps[i], lam, field)
         cyp = typ if cyp is None else cyp.mul(typ)
         cBp = tBp if cBp is None else cBp.mul(tBp)
-        term = kxs[i].mul(lam_f)
+        term = kxs[i].mul(field.from_int(lam))
         ckx = term if ckx is None else ckx.add(term)
     combined_B = combined_f.exp_prod(e, ebitlen)
     from vmn_tpu.protocol.hvzk.pos_tw import _all_checks, _eq_device
