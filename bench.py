@@ -25,6 +25,10 @@ def main():
     n = int(os.environ.get("VMN_BENCH_N", "65536"))
     group_name = os.environ.get("VMN_BENCH_GROUP", "modp2048")
 
+    from vmn_tpu.parallel import dist
+
+    dist.init_from_env()  # multi-host when VMN_DIST_* is set
+
     import numpy as np
 
     from vmn_tpu.arith.pgroup import ModPGroup
@@ -94,6 +98,18 @@ def main():
         ).verify(expected_type="mixing")
         dt_verify = time.time() - t0
 
+        # Proof size + communication — the reference postlude's report
+        # surface (MixNetElGamalTool.java:150-207,
+        # ProtocolElGamal.java:591-602).
+        nizkp_bytes = sum(
+            f.stat().st_size
+            for f in (Path(tmp) / "nizkp.bench").rglob("*")
+            if f.is_file()
+        )
+        board = party.board
+        sent_bytes = getattr(board, "sent_bytes", 0)
+        received_bytes = getattr(board, "received_bytes", 0)
+
     # vs_baseline: the reference publishes no absolute numbers in-repo
     # (BASELINE.md); we report the ratio to this repo's round-1 result
     # (13.829 ciphertexts/s, BENCH_r01.json) so progress is comparable.
@@ -111,6 +127,10 @@ def main():
         "verify_cps": round(n / dt_verify, 3),
         "mix_prove_verify_cps": round(n / (dt + dt_verify), 3),
         "verify_ok": bool(vres.ok),
+        "nizkp_bytes": nizkp_bytes,
+        "nizkp_bytes_per_ciph": round(nizkp_bytes / n, 1),
+        "sent_bytes": sent_bytes,
+        "received_bytes": received_bytes,
     }
     print(json.dumps(result))
 

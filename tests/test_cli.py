@@ -128,3 +128,105 @@ def test_sact_lact_roundtrip(tmp_path, monkeypatch, capsys):
     capsys.readouterr()
     assert vmn.main(["-lact", "priv1.xml", "protInfo.xml"]) == 0
     assert capsys.readouterr().out.strip().splitlines()[-1] == "1,3"
+
+
+@pytest.mark.skipif(os.environ.get("VMN_SKIP_SLOW") == "1",
+                    reason="slow N=10^4 config")
+def test_manyciphs_cli_e2e(tmp_path, monkeypatch):
+    """N=10^4 through the CLI (reference: `manyciphs` config,
+    .checkbaseconf NO_CIPHERTEXTS=10000)."""
+    monkeypatch.chdir(tmp_path)
+    _cli_protinfo(tmp_path)
+    assert vmn.main(["-keygen", "privInfo.xml", "protInfo.xml",
+                     "publicKey.bt"]) == 0
+    assert vmnd.main(["-ciphs", "publicKey.bt", "ciphertexts.bt",
+                      "-N", "10000", "-pgroup", GROUP]) == 0
+    assert vmn.main(["-mix", "privInfo.xml", "protInfo.xml",
+                     "ciphertexts.bt", "plaintexts.bt"]) == 0
+    nizkp = str(tmp_path / "p1" / "nizkp.default")
+    assert vmnv.main(["protInfo.xml", nizkp, "-mix"]) == 0
+
+
+def test_forcedwidth_cli(tmp_path, monkeypatch):
+    """-width on the vmn command line overrides the protInfo width
+    (reference: `forcedwidth` config; macros widthcom -> `vmn -width`)."""
+    monkeypatch.chdir(tmp_path)
+    _cli_protinfo(tmp_path)
+    assert vmn.main(["-keygen", "privInfo.xml", "protInfo.xml",
+                     "publicKey.bt"]) == 0
+    assert vmnd.main(["-ciphs", "publicKey.bt", "ciphertexts.bt",
+                      "-N", "5", "-width", "2", "-pgroup", GROUP]) == 0
+    assert vmn.main(["-mix", "privInfo.xml", "protInfo.xml",
+                     "ciphertexts.bt", "plaintexts.bt",
+                     "-width", "2"]) == 0
+    nizkp = str(tmp_path / "p1" / "nizkp.default")
+    assert vmnv.main(["protInfo.xml", nizkp, "-mix",
+                      "-width", "2"]) == 0
+    # wrong expected width must be rejected
+    assert vmnv.main(["protInfo.xml", nizkp, "-mix",
+                      "-width", "3"]) != 0
+
+
+def test_forcedmaxciph_cli(tmp_path, monkeypatch):
+    """-maxciph on the command line overrides the protInfo value
+    (reference: `forcedmaxciph` config: MAX=200 in protInfo forced to
+    300 at precomp+mix time)."""
+    monkeypatch.chdir(tmp_path)
+    _cli_protinfo(tmp_path, extra=["-maxciph", "6"])
+    assert vmn.main(["-keygen", "privInfo.xml", "protInfo.xml",
+                     "publicKey.bt"]) == 0
+    # forced maxciph 12 > protInfo's 6; N=10 only fits the forced value
+    assert vmn.main(["-precomp", "privInfo.xml", "protInfo.xml",
+                     "-maxciph", "12"]) == 0
+    assert vmnd.main(["-ciphs", "publicKey.bt", "ciphertexts.bt",
+                      "-N", "10", "-pgroup", GROUP]) == 0
+    assert vmn.main(["-mix", "privInfo.xml", "protInfo.xml",
+                     "ciphertexts.bt", "plaintexts.bt",
+                     "-maxciph", "12"]) == 0
+    nizkp = str(tmp_path / "p1" / "nizkp.default")
+    assert vmnv.main(["protInfo.xml", nizkp, "-mix"]) == 0
+
+
+def test_seq_interfaces_cli(tmp_path, monkeypatch):
+    """seqhex input / seqjson output driven through vmnc + vmn
+    (reference: interface plug-in matrix, `raw/json/jsondecode` configs
+    extended by the seq* interfaces)."""
+    monkeypatch.chdir(tmp_path)
+    _cli_protinfo(tmp_path)
+    assert vmn.main(["-keygen", "privInfo.xml", "protInfo.xml",
+                     "publicKey.bt"]) == 0
+    assert vmnd.main(["-ciphs", "publicKey.bt", "ciphertexts.bt",
+                      "-N", "5", "-pgroup", GROUP]) == 0
+    assert vmnc.main(["-ciphs", "ciphertexts.bt", "ciphertexts.seqhex",
+                      "-ini", "raw", "-outi", "seqhex",
+                      "-pgroup", GROUP]) == 0
+    assert vmn.main(["-mix", "privInfo.xml", "protInfo.xml",
+                     "ciphertexts.seqhex", "plaintexts.seqjson",
+                     "-ini", "seqhex", "-outi", "seqjson"]) == 0
+    # output parses as seqjson and round-trips to raw
+    assert vmnc.main(["-plain", "plaintexts.seqjson", "plaintexts.bt",
+                      "-ini", "seqjson", "-outi", "raw",
+                      "-pgroup", GROUP]) == 0
+    nizkp = str(tmp_path / "p1" / "nizkp.default")
+    assert vmnv.main(["protInfo.xml", nizkp, "-mix"]) == 0
+
+
+def _cli_protinfo(tmp_path, extra=()):
+    """vmni protocol+party+merge with a deterministic seed."""
+    assert vmni.main([
+        "-prot", "-sid", "CliTest", "-nopart", "1", "-thres", "1",
+        "-pgroup", GROUP, "-stub", "stub.xml", *extra,
+    ]) == 0
+    assert vmni.main([
+        "-party", "-name", "Party01", "-stub", "stub.xml",
+        "-dir", str(tmp_path / "p1"), "-seed", "",
+        "-out", "localProtInfo.xml",
+    ]) == 0
+    assert vmni.main([
+        "-merge", "localProtInfo.xml", "-out", "protInfo.xml",
+    ]) == 0
+    (tmp_path / "seed").write_bytes(b"cli-seed")
+    priv = (tmp_path / "privInfo.xml").read_text()
+    priv = priv.replace("<seed />", f"<seed>{tmp_path}/seed</seed>")
+    priv = priv.replace("<seed></seed>", f"<seed>{tmp_path}/seed</seed>")
+    (tmp_path / "privInfo.xml").write_text(priv)

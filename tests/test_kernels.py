@@ -328,3 +328,88 @@ def test_ec_point_add_pallas_interpret():
             assert infs[i], f"case {i}: expected infinity"
         else:
             assert not infs[i] and (got_x[i], got_y[i]) == w, f"case {i}"
+
+
+def test_ec_multiexp_pallas_interpret(monkeypatch):
+    """Digit-position-parallel EC multi-exp kernel vs host arithmetic,
+    over batch sizes exercising padding and a zero/max scalar."""
+    from vmn_tpu.arith.ec import ECqPGroup
+    from vmn_tpu.ops import ec_kernels, mont_kernels
+
+    # small position-block unroll + tile keep the interpret-mode XLA
+    # graph compilable in seconds (CPU inlines every kernel op; on TPU
+    # Mosaic compiles the kernel once)
+    monkeypatch.setattr(ec_kernels, "_EP_JB", 4)
+    monkeypatch.setattr(ec_kernels, "TILE_N", 128)
+
+    grp = ECqPGroup.named("P-256")
+    ctx = grp.ctx
+    p, a = grp.p, grp.a
+    G = (grp.gx, grp.gy)
+    rng = np.random.default_rng(17)
+    # small nbits keep the interpret-mode graphs compilable in seconds
+    # on CPU; digit/padding logic is identical at any size
+    for N, nbits in [(5, 64), (70, 32)]:
+        pts = [_host_ec_mul(p, a, G, i + 2) for i in range(N)]
+        ks = [int.from_bytes(rng.bytes((nbits + 7) // 8), "big")
+              % (1 << nbits) for _ in range(N)]
+        ks[0] = 0
+        ks[-1] = (1 << nbits) - 1
+        want = None
+        for pt, k in zip(pts, ks):
+            want = _host_ec_add(p, a, want, _host_ec_mul(p, a, pt, k))
+        xs = ctx.encode([pt[0] for pt in pts])
+        ys = ctx.encode([pt[1] for pt in pts])
+        inf = jnp.zeros((N,), bool)
+        Le = (nbits + 15) // 16
+        e = jnp.asarray(np.stack([int_to_limbs(k, Le) for k in ks]))
+        old = mont_kernels.INTERPRET
+        mont_kernels.INTERPRET = True
+        try:
+            X, Y, Z = ec_kernels.ec_multiexp_pallas(
+                grp.curve, xs, ys, inf, e, nbits
+            )
+            x_aff, y_aff, inf_out = grp.curve.normalize(X, Y, Z)
+        finally:
+            mont_kernels.INTERPRET = old
+        gx = _from_mont_ints(ctx, np.asarray(x_aff)[None])[0]
+        gy = _from_mont_ints(ctx, np.asarray(y_aff)[None])[0]
+        assert (gx, gy) == want, (N, nbits)
+
+
+def test_ec_fb_exp_pallas_interpret(monkeypatch):
+    """Windowed fixed-base EC kernel vs host arithmetic (table built on
+    device), incl. scalar 0 -> infinity."""
+    from vmn_tpu.arith.ec import ECqPGroup, _ec_fb_table_device
+    from vmn_tpu.ops import ec_kernels, mont_kernels
+
+    monkeypatch.setattr(ec_kernels, "TILE_N", 128)
+
+    grp = ECqPGroup.named("P-256")
+    ctx = grp.ctx
+    p, a = grp.p, grp.a
+    G = (grp.gx, grp.gy)
+    scalars = [0, 1, 2, (1 << 64) - 1, 12345, (1 << 63) + 99, 7]
+    want = [_host_ec_mul(p, a, G, k) for k in scalars]
+    gpt = grp.g
+    X0, Y0, Z0 = gpt._jac()
+    tbx, tby = _ec_fb_table_device(grp.curve, X0, Y0, Z0, 16)
+    Le = (64 + 15) // 16
+    e = jnp.asarray(np.stack([int_to_limbs(k, Le) for k in scalars]))
+    old = mont_kernels.INTERPRET
+    mont_kernels.INTERPRET = True
+    try:
+        X, Y, Z = ec_kernels.ec_fb_exp_pallas(
+            tbx, tby, e, ctx.m_limbs, ctx.mprime, ctx.one_mont
+        )
+        x_aff, y_aff, inf_out = grp.curve.normalize(X, Y, Z)
+    finally:
+        mont_kernels.INTERPRET = old
+    got_x = _from_mont_ints(ctx, np.asarray(x_aff))
+    got_y = _from_mont_ints(ctx, np.asarray(y_aff))
+    infs = np.asarray(inf_out)
+    for i, w in enumerate(want):
+        if w is None:
+            assert infs[i], f"row {i}: expected infinity"
+        else:
+            assert not infs[i] and (got_x[i], got_y[i]) == w, f"row {i}"

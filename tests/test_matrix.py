@@ -206,3 +206,28 @@ def test_provable_primitives_mix_and_verify(tmp_path):
         expected_type="mixing"
     )
     assert res.ok
+
+
+def test_thresholdlarge_k7_t4(tmp_path):
+    """k=7 mix-servers with threshold 4 (reference: `thresholdlarge`
+    config, demo/mixnet/.checkbaseconf NO_MIXSERVERS=7 THRESHOLD=4)."""
+    group = ModPGroup.named("test256")
+    params = ProtocolParams(
+        sid="K7", k=7, threshold=4, pgroup=group
+    )
+    _, _, nizkp = _run_mix(tmp_path, params, 1)
+    res = FiatShamirVerifier(params, nizkp).verify(expected_type="mixing")
+    assert res.ok
+
+
+def test_keywidth2_width2_combined(tmp_path):
+    """keywidth=2 AND width=2 in one run (reference: `keywidth32`
+    config — KEYWIDTH=3 WIDTH=2)."""
+    params = ProtocolParams(
+        sid="KW32", k=1, threshold=1, keywidth=2,
+        pgroup=ModPGroup.named("test256"),
+    )
+    _, _, nizkp = _run_mix(tmp_path, params, width=2)
+    res = FiatShamirVerifier(params, nizkp).verify(expected_type="mixing")
+    assert res.ok
+    assert res.width == 2

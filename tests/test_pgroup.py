@@ -218,3 +218,42 @@ def test_native_jacobi_membership_matches_euler():
     )
     with _pytest.raises(ByteTreeError):
         group.elem_from_bytetree(bad_bt)
+
+
+def test_qr_check_device_accepts_members_rejects_nonmembers(monkeypatch):
+    """Randomized device QR test (interpret-mode kernels): all-members
+    pass; a single planted non-residue is caught (prob 1 - 2^-100)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from vmn_tpu.arith import mont as mont_mod
+    from vmn_tpu.arith.pgroup import ModPGroup
+    from vmn_tpu.ops import mont_kernels
+
+    monkeypatch.setattr(mont_mod, "_PALLAS_ENABLED", True)
+    monkeypatch.setattr(mont_kernels, "INTERPRET", True)
+
+    from vmn_tpu.arith.limbs import int_to_limbs
+
+    grp = ModPGroup.named("test256")
+    prg_vals = []
+    x = 5
+    for _ in range(80):
+        x = x * x % grp.p  # squares: guaranteed members
+        prg_vals.append(x)
+    limbs = grp.ctx.to_mont(
+        jnp.asarray(np.stack([int_to_limbs(v, grp.L) for v in prg_vals]))
+    )
+    assert grp._qr_check_device(limbs)() is True
+
+    # plant one quadratic non-residue
+    nr = 2
+    while pow(nr, grp.q, grp.p) == 1:
+        nr += 1
+    bad = list(prg_vals)
+    bad[37] = nr
+    limbs_bad = grp.ctx.to_mont(
+        jnp.asarray(np.stack([int_to_limbs(v, grp.L) for v in bad]))
+    )
+    assert grp._qr_check_device(limbs_bad)() is False

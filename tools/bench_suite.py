@@ -146,7 +146,8 @@ def bench_micro():
 
 
 def _mix_once(n, k=1, threshold=1, width=1, group_name="modp2048",
-              time_verify=False):
+              time_verify=False, noninteractive=True,
+              check_correct=False):
     """One timed in-process mix (threads for k>1); returns ciphs/s."""
     import tempfile
     import threading
@@ -167,8 +168,11 @@ def _mix_once(n, k=1, threshold=1, width=1, group_name="modp2048",
         group = ECqPGroup.named(group_name)
     else:
         group = ModPGroup.named(group_name)
-    params = ProtocolParams(sid=f"BS{n}.{k}.{width}.{group_name}", k=k,
-                            threshold=threshold, pgroup=group)
+    params = ProtocolParams(
+        sid=f"BS{n}.{k}.{width}.{group_name}.{int(noninteractive)}",
+        k=k, threshold=threshold, pgroup=group,
+        noninteractive=noninteractive,
+    )
     hub = LocalBoardHub(k)
     with tempfile.TemporaryDirectory() as tmp:
         parties = [None] * (k + 1)
@@ -219,6 +223,9 @@ def _mix_once(n, k=1, threshold=1, width=1, group_name="modp2048",
             leaf = leaf.project(0)
         np.asarray(getattr(leaf, "limbs", getattr(leaf, "x", None)))
         dt = time.time() - t0
+        correct = None
+        if check_correct:
+            correct = sorted(leaf.to_ints()) == sorted(m.to_ints())
         dt_verify = None
         if time_verify:
             from vmn_tpu.protocol.mixnet.verifier import (
@@ -235,6 +242,8 @@ def _mix_once(n, k=1, threshold=1, width=1, group_name="modp2048",
             ).verify(expected_type="mixing")
             assert vres.ok
             dt_verify = time.time() - t0
+    if check_correct and time_verify:
+        return n / dt, dt, dt_verify, correct
     if time_verify:
         return n / dt, dt, dt_verify
     return n / dt, dt
@@ -274,7 +283,8 @@ def _run_mix(parties, hub, aux, width, ciphs, k):
 
 def main():
     sections = sys.argv[1:] or [
-        "micro", "lengths", "parties", "widths", "p256", "verify"
+        "micro", "lengths", "parties", "widths", "p256", "verify",
+        "interactive",
     ]
     path = ROOT / "BENCH_micro.json"
     report = {}
@@ -346,6 +356,44 @@ def main():
             "mix_prove_verify_cps": round(65536 / (dt + dtv), 1),
         }
         print(report["mix_verify_2048"])
+        _flush()
+
+    if "northstar" in sections:
+        # The north star: full mix+prove+verify at N=2^20 (pushable to
+        # 10^6 via VMN_NORTHSTAR_N), 2048-bit, on the chip — the
+        # reference's mixing_lengths axis taken to production scale
+        # (demo/mixnet/benchmarks/bench_config:33-46; BASELINE.json).
+        n = int(os.environ.get("VMN_NORTHSTAR_N", str(1 << 20)))
+        cps, dt, dtv, ok = _mix_once(n, time_verify=True,
+                                     check_correct=True)
+        report["northstar"] = {
+            "n": n, "cps": round(cps, 1), "seconds": round(dt, 1),
+            "verify_seconds": round(dtv, 1),
+            "verify_cps": round(n / dtv, 1),
+            "mix_prove_verify_cps": round(n / (dt + dtv), 1),
+            "correct": bool(ok), "verify_ok": True,
+        }
+        print(report["northstar"])
+        _flush()
+
+    if "interactive" in sections:
+        # Interactive vs Fiat-Shamir correctness proofs, k=3 at two
+        # sizes (reference: `interactive` row of .checkbaseconf; the
+        # interactive path adds the coin-flipping challenge rounds)
+        rows = []
+        for n in (4096, 16384):
+            cps_fs, dt_fs = _mix_once(n, k=3, threshold=2)
+            cps_int, dt_int = _mix_once(
+                n, k=3, threshold=2, noninteractive=False
+            )
+            rows.append({
+                "n": n, "k": 3,
+                "fs_seconds": round(dt_fs, 1),
+                "interactive_seconds": round(dt_int, 1),
+                "interactive_over_fs": round(dt_int / dt_fs, 2),
+            })
+            print(rows[-1])
+        report["interactive"] = rows
         _flush()
 
     _flush()

@@ -34,10 +34,19 @@ TV_NAMES = [
     "PoS.Cp", "PoS.Dp", "PoS.Fp", "PoS.C", "PoS.D", "PoS.k_A",
     "PoS.k_B", "PoS.k_C", "PoS.k_D", "PoS.k_E", "PoS.k_F", "Dec.s",
     "Dec.v",
+    # precomputation-mode names (PoSC + CCPoS chains)
+    "par.N_0", "PoSC.s", "PoSC.v", "CCPoS.s", "CCPoS.v",
 ]
 
 
-def generate(outdir: Path, group_name: str = "test256"):
+def generate(outdir: Path, group_name: str = "test256", k: int = 1,
+             threshold: int = 1, width: int = 1, maxciph: int = 0):
+    """Deterministic k-party mix -> (nizkp dir of party 1, vmnv -t
+    test vectors).  maxciph > 0 runs the offline/online split, so the
+    transcript carries the PoSC + CCPoS (committedShuffle) chains
+    instead of plain PoS."""
+    import threading
+
     from vmn_tpu.crypto.randomsource import SeededSource
     from vmn_tpu.protocol import elgamal
     from vmn_tpu.protocol.com.board import LocalBoardHub
@@ -58,28 +67,80 @@ def generate(outdir: Path, group_name: str = "test256"):
 
         group = ModPGroup.named(group_name)
         n = 5
-    params = ProtocolParams(sid="Golden", k=1, threshold=1, pgroup=group)
+    params = ProtocolParams(sid="Golden", k=k, threshold=threshold,
+                            pgroup=group)
 
-    hub = LocalBoardHub(1)
-    party = MixNetParty(
-        params, hub.board(1), SeededSource(b"golden-party"), str(outdir)
-    )
-    pk = party.keygen()
+    hub = LocalBoardHub(k)
+    parties = [None] * (k + 1)
+    errs = []
+
+    def _run(j, fn):
+        try:
+            fn(j)
+        except Exception:  # noqa: BLE001
+            import traceback
+
+            errs.append(traceback.format_exc())
+
+    def _threads(fn):
+        ths = [
+            threading.Thread(target=_run, args=(j, fn), daemon=True)
+            for j in range(1, k + 1)
+        ]
+        [t.start() for t in ths]
+        [t.join() for t in ths]
+        assert not errs, errs[0]
+
+    def _keygen(j):
+        # k=1 keeps the historical seed so the frozen k=1 fixtures stay
+        # byte-identical across rounds (docs/WORKED_POS.md depends on
+        # those exact bytes)
+        seed = (b"golden-party" if k == 1
+                else f"golden-party{j}".encode())
+        p = MixNetParty(
+            params, hub.board(j), SeededSource(seed),
+            str(outdir / f"P{j:02d}") if k > 1 else str(outdir),
+        )
+        p.keygen()
+        parties[j] = p
+
+    _threads(_keygen)
+    pk = parties[1].full_public_key()
+
+    from vmn_tpu.arith.pgroup import PPArray
 
     msgs = [group.encode_message(f"{i:08d}".encode()) for i in range(n)]
     if hasattr(group, "from_affine"):
         m = group.from_affine(msgs)
     else:
         m = group.from_ints(msgs)
-    r = group.ring.random((n,), SeededSource(b"golden-ciphs"), 0)
-    ciphs = elgamal.encrypt(pk, m, r)
+    if width > 1:
+        plain = elgamal.plain_group(group, width)
+        m = PPArray(plain, tuple([m] * width))
+    r = elgamal.plain_group(group, width).ring.random(
+        (n,), SeededSource(b"golden-ciphs"), 0
+    )
+    ciphs = elgamal.encrypt(pk.widen(width), m, r)
 
-    session = party.session("golden", 1)
-    out = session.mix(ciphs)
+    hub2 = LocalBoardHub(k)
+    outs = [None] * (k + 1)
+
+    def _mix(j):
+        parties[j].board = hub2.board(j)
+        s = parties[j].session("golden", width)
+        if maxciph:
+            s.precomp(maxciph)
+        outs[j] = s.mix(ciphs)
+
+    _threads(_mix)
+    out = outs[1]
+    while hasattr(out, "components"):
+        out = out.project(0)
     got = out.to_affine() if hasattr(out, "to_affine") else out.to_ints()
     assert sorted(got) == sorted(msgs)
 
-    nizkp = outdir / "nizkp.golden"
+    base = outdir / "P01" if k > 1 else outdir
+    nizkp = base / "nizkp.golden"
     v = FiatShamirVerifier(params, nizkp, test_vectors=TV_NAMES)
     res = v.verify(expected_type="mixing")
     assert res.ok
@@ -87,17 +148,30 @@ def generate(outdir: Path, group_name: str = "test256"):
 
 
 FIXTURES = {
-    "test256": ("nizkp_test256_k1", "test_vectors.json"),
-    "P-256": ("nizkp_p256_k1", "test_vectors_p256.json"),
+    "test256": ("nizkp_test256_k1", "test_vectors.json", {}),
+    "P-256": ("nizkp_p256_k1", "test_vectors_p256.json", {}),
+    # precomputation mode: PoSC + CCPoS chains (reference:
+    # MixNetElGamalVerifyFiatShamirSession.verifyPoSC:652 /
+    # verifyCCPoS:757)
+    "test256-precomp": (
+        "nizkp_test256_k1_precomp", "test_vectors_precomp.json",
+        {"maxciph": 8},
+    ),
+    # k=3 threshold chain with width-2 plaintexts
+    "test256-k3w2": (
+        "nizkp_test256_k3_w2", "test_vectors_k3w2.json",
+        {"k": 3, "threshold": 2, "width": 2},
+    ),
 }
 
 
 def main():
     import tempfile
 
-    for group_name, (dirname, tvname) in FIXTURES.items():
+    for key, (dirname, tvname, kw) in FIXTURES.items():
+        group_name = key.split("-precomp")[0].split("-k3w2")[0]
         with tempfile.TemporaryDirectory() as tmp:
-            nizkp, tv = generate(Path(tmp), group_name)
+            nizkp, tv = generate(Path(tmp), group_name, **kw)
             dest = GOLDEN / dirname
             if dest.exists():
                 shutil.rmtree(dest)

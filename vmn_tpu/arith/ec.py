@@ -35,6 +35,7 @@ import numpy as np
 
 from vmn_tpu.arith import mont
 from vmn_tpu.arith.limbs import (
+    LIMB_BITS,
     bytes_be_to_limbs,
     int_to_limbs,
     ints_to_limbs,
@@ -351,6 +352,37 @@ def _scalar_mul_dispatch(curve: _Curve, x, y, inf, e, nbits: int):
                 io.reshape(shape),
             )
     return _scalar_mul(curve, x, y, inf, e, nbits)
+
+
+@functools.partial(jax.jit, static_argnames=("curve", "ndig"))
+def _ec_fb_table_device(curve, X, Y, Z, ndig: int):
+    """Windowed fixed-base table: affine coords of d * 2^(4j) * P for
+    d in [1, 16), j in [0, ndig) — one compiled program of batched
+    point ops (the doubling chain is the only sequential part).
+    Returns (tx, ty) each (ndig, 16, L); row d = 0 is zeros (the kernel
+    flags it as infinity by digit value)."""
+    bx, by, bz = [], [], []
+    for _j in range(ndig):
+        bx.append(X)
+        by.append(Y)
+        bz.append(Z)
+        for _ in range(4):
+            X, Y, Z = curve.point_double(X, Y, Z)
+    BX, BY, BZ = jnp.stack(bx), jnp.stack(by), jnp.stack(bz)  # (ndig, L)
+    TX, TY, TZ = [BX], [BY], [BZ]
+    cx, cy, cz = BX, BY, BZ
+    for _d in range(2, 16):
+        cx, cy, cz = curve.point_add(cx, cy, cz, BX, BY, BZ)
+        TX.append(cx)
+        TY.append(cy)
+        TZ.append(cz)
+    L = BX.shape[-1]
+    flat = lambda t: jnp.stack(t).reshape(15 * ndig, L)
+    ax, ay, _inf = curve.normalize(flat(TX), flat(TY), flat(TZ))
+    zeros = jnp.zeros((1, ndig, L), jnp.uint32)
+    tx = jnp.concatenate([zeros, ax.reshape(15, ndig, L)], axis=0)
+    ty = jnp.concatenate([zeros, ay.reshape(15, ndig, L)], axis=0)
+    return jnp.transpose(tx, (1, 0, 2)), jnp.transpose(ty, (1, 0, 2))
 
 
 # ====================================================================
@@ -712,7 +744,7 @@ class ECArray:
     mask.  Mirrors the GArray surface (exp = scalar mul, mul = point
     add, prod, exp_prod, ...)."""
 
-    __slots__ = ("grp", "x", "y", "inf", "_bt")
+    __slots__ = ("grp", "x", "y", "inf", "_bt", "_fbt")
 
     def spill(self) -> "ECArray":
         """Disk-spill backend hook (arrays=file)."""
@@ -798,11 +830,7 @@ class ECArray:
     def exp(self, e) -> "ECArray":
         if isinstance(e, int):
             e = self.grp.ring.from_int(e)
-        x, y, inf = _scalar_mul_dispatch(
-            self.grp.curve, self.x, self.y, self.inf, e.limbs,
-            self.grp.ring.nbits,
-        )
-        return ECArray(self.grp, x, y, inf)
+        return self._exp_impl(e.limbs, self.grp.ring.nbits)
 
     def exp_bits(self, e, nbits: int) -> "ECArray":
         # Clamp to the exponent's own representation: digits past its
@@ -812,13 +840,83 @@ class ECArray:
         from vmn_tpu.arith.limbs import LIMB_BITS
 
         nbits = min(nbits, LIMB_BITS * e.limbs.shape[-1])
+        return self._exp_impl(e.limbs, nbits)
+
+    def _exp_impl(self, e_limbs, nbits: int) -> "ECArray":
+        """Scalar-mul dispatch.  A SHARED scalar base (g, pk, h0 — the
+        reference routes these through gmpmee/vec fixed-base tables,
+        used 91x, SURVEY.md §2.3) raised to a large batch goes through
+        the windowed fixed-base kernel: no doublings, one mixed
+        addition per digit — ~1.8x fewer field products than the
+        general scalar-mul kernel, plus a cached one-time table."""
+        c = self.grp.curve
+        if (
+            mont.use_pallas()
+            and self.x.ndim == 1
+            and e_limbs.ndim == 2
+            and e_limbs.shape[0] >= 64
+            and mont.shard_info(e_limbs) is None
+        ):
+            tbl = self._fb_tables(nbits)
+            if tbl is not None:
+                from vmn_tpu.ops.ec_kernels import ec_fb_exp_pallas
+
+                X, Y, Z = ec_fb_exp_pallas(
+                    tbl[0], tbl[1], e_limbs, c.ctx.m_limbs, c.ctx.mprime,
+                    c.ctx.one_mont,
+                )
+                x, y, inf = c.normalize(X, Y, Z)
+                return ECArray(self.grp, x, y, inf)
         x, y, inf = _scalar_mul_dispatch(
-            self.grp.curve, self.x, self.y, self.inf, e.limbs, nbits
+            c, self.x, self.y, self.inf, e_limbs, nbits
         )
         return ECArray(self.grp, x, y, inf)
 
+    def _fb_tables(self, nbits: int):
+        """Cached (ndig, 16, L) fixed-base tables for this scalar point
+        (None when the point is at infinity)."""
+        ndig = max(1, -(-nbits // 4))
+        cache = getattr(self, "_fbt", None)
+        if cache is None:
+            cache = {}
+            self._fbt = cache
+        hit = cache.get(ndig)
+        if hit is not None:
+            return hit if hit != () else None
+        if bool(np.asarray(self.inf)):
+            cache[ndig] = ()
+            return None
+        c = self.grp.curve
+        X, Y, Z = self._jac()
+        tbl = _ec_fb_table_device(c, X, Y, Z, ndig)
+        cache[ndig] = tbl
+        return tbl
+
     def exp_prod(self, e, nbits: Optional[int] = None) -> "ECArray":
+        """Simultaneous multi-exponentiation sum_i e_i * P_i
+        (reference: PGroupElementArray.expProd via gmpmee/vec spowm).
+
+        TPU path: fused digit-position-parallel kernels (shared
+        doublings across the whole batch, ops/ec_kernels.py) — the
+        naive per-element scalar-mul + add-tree costs ~2x the field
+        products and round-trips HBM."""
         nbits = self.grp.ring.nbits if nbits is None else nbits
+        nbits = min(nbits, LIMB_BITS * e.limbs.shape[-1])
+        c = self.grp.curve
+        if (
+            mont.use_pallas()
+            and self.x.ndim == 2
+            and e.limbs.ndim == 2
+            and self.x.shape[0] >= 64
+            and mont.shard_info(self.x, e.limbs) is None
+        ):
+            from vmn_tpu.ops.ec_kernels import ec_multiexp_pallas
+
+            X, Y, Z = ec_multiexp_pallas(
+                c, self.x, self.y, self.inf, e.limbs, nbits
+            )
+            x, y, inf = c.normalize(X, Y, Z)
+            return ECArray(self.grp, x, y, inf)
         powers = self.exp_bits(e, nbits)
         return powers.prod()
 

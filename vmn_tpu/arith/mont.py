@@ -509,8 +509,18 @@ def device_limbs(arr) -> jnp.ndarray:
 
 
 def host_limbs(x) -> np.ndarray:
-    """Device uint32 limbs -> host uint16 array (half the transfer)."""
-    return np.asarray(_narrow_u16(x))
+    """Device uint32 limbs -> host uint16 array (half the transfer).
+
+    Multi-process: a global array sharded across hosts is not fully
+    addressable locally — gather it first (every process gets the full
+    value, which the SPMD protocol layer requires anyway for transcript
+    serialization and challenge hashing)."""
+    y = _narrow_u16(x)
+    if isinstance(y, jax.Array) and not y.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(y, tiled=True))
+    return np.asarray(y)
 
 
 # ------------------------------------------------------- pallas dispatch

@@ -566,6 +566,8 @@ class ModPGroup:
         if not _range_check_be(raw, self.p, self.bytelen):
             raise ByteTreeError("element out of range")
         validated = False
+        defer_qr_device = False
+        hook = getattr(_DEFER_TLS, "hook", None)
         if validate and self.coorder == 2:
             # Safe-prime groups: membership x in QR(p) <=> (x|p) == 1.
             # The native batch Jacobi runs on the host bytes during the
@@ -575,8 +577,15 @@ class ModPGroup:
             # verifier's dominant cost).
             from vmn_tpu.native.build import get_lib, jacobi_batch
 
-            hook = getattr(_DEFER_TLS, "hook", None)
-            if (hook is not None and raw.shape[0] >= 256
+            if (hook is not None and raw.shape[0] >= 4096
+                    and mont.use_pallas()):
+                # Large device-resident arrays: batched randomized QR
+                # test on the DEVICE (see _qr_check_device) — host-side
+                # Jacobi at 2^20 elements costs minutes on this host's
+                # cores, the device folds it into ~100 N-wide products.
+                defer_qr_device = True
+                validated = True
+            elif (hook is not None and raw.shape[0] >= 256
                     and get_lib() is not None):
                 pb = self._p_bytes
 
@@ -597,6 +606,8 @@ class ModPGroup:
                         raise ByteTreeError("element not in subgroup")
                     validated = True
         ga = GArray(self, self.ctx.to_mont(device_limbs(limbs)))
+        if defer_qr_device:
+            hook(self._qr_check_device(ga.limbs))
         if validate and not validated and not ga.is_in_group():
             raise ByteTreeError("element not in subgroup")
         if scalar:
@@ -607,6 +618,56 @@ class ModPGroup:
         # costs no device fetch.
         ga._bt = bt
         return ga
+
+    # 100 independent 4-bit digit positions -> soundness 2^-100, the
+    # protocol's statistical-distance order (docs/DEVIATIONS.md #3)
+    _QR_BITS = 400
+
+    def _qr_check_device(self, mont_limbs):
+        """Batched randomized quadratic-residuosity test on device.
+
+        Draws verifier-local uniform 400-bit exponents r_i and computes
+        the per-digit-position products P_j = prod_i x_i^{d_ij} with the
+        fused Yao kernel.  The Legendre character is multiplicative, so
+        if ANY x_i is a non-residue each P_j is a non-residue with
+        independent probability 1/2 — all 100 positions passing has
+        probability 2^-100.  Montgomery form is transparent to the test:
+        chi(R) = chi(2)^(16L) = +1 (even power).
+
+        Device work is dispatched immediately (async); the returned
+        thunk fetches the ~100 scalars and Jacobi-checks them on the
+        host (microseconds).
+        """
+        from vmn_tpu.ops.mont_kernels import mont_expprod_positions
+
+        import os as _os
+
+        n = mont_limbs.shape[0]
+        lw = self._QR_BITS // LIMB_BITS
+        key = jax.random.PRNGKey(
+            int.from_bytes(_os.urandom(7), "big")
+        )
+        e = jax.random.bits(key, (n, lw), jnp.uint32) & jnp.uint32(0xFFFF)
+        P = mont_expprod_positions(
+            mont_limbs, e, self.ctx.m_limbs, self.ctx.mprime,
+            self.ctx.one_mont, self._QR_BITS,
+        )
+
+        def _check(P=P):
+            from vmn_tpu.native.build import jacobi_batch
+
+            arr = host_limbs(P)  # tiny fetch; waits for device
+            raw = limbs_to_bytes_be(arr, self.bytelen)
+            ok = jacobi_batch(raw, self._p_bytes, nthreads=1)
+            if ok is not None:
+                return bool(ok.all())
+            e2 = (self.p - 1) // 2
+            return all(
+                pow(v, e2, self.p) == 1
+                for v in limbs_to_ints(arr)
+            )
+
+        return _check
 
     def to_bytetree(self) -> ByteTree:
         from vmn_tpu.eio.bytetree import signed_int_leaf

@@ -30,6 +30,12 @@ def main(argv=None) -> int:
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return 0
+    # Multi-host launch: when the VMN_DIST_* triplet is set, join the
+    # jax.distributed runtime BEFORE first device use so one party's
+    # device work spans all processes (parallel/dist.py).
+    from vmn_tpu.parallel import dist
+
+    dist.init_from_env()
     cmd = argv[0]
     if cmd not in _COMMANDS:
         print(f"unknown command: {cmd}; one of {', '.join(_COMMANDS)}",

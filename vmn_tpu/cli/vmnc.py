@@ -47,18 +47,11 @@ def main(argv=None) -> int:
         iface_out.write_ciphertexts(ciphs, args.outfile)
     else:
         pg = elgamal.plain_group(group, args.width)
-        plain = _read_plain(iface_in, pg, args.infile)
+        plain = iface_in.read_plaintexts(pg, args.infile)
         iface_out.write_plaintexts(plain, args.outfile)
     print(f"converted {args.infile} ({args.ini}) -> "
           f"{args.outfile} ({args.outi})")
     return 0
-
-
-def _read_plain(iface, plain_group, path):
-    from vmn_tpu.eio.bytetree import ByteTree
-
-    bt = ByteTree.read_file(path)
-    return plain_group.elem_from_bytetree(bt)
 
 
 if __name__ == "__main__":

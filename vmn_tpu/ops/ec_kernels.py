@@ -331,6 +331,394 @@ def ec_scalar_mul_pallas(x, y, inf, e, m, mprime, one_mont,
     return X.T, Y.T, Z.T
 
 
+# -------------------------------------------- fused multi-exponentiation
+#
+# sum_i e_i * P_i (written multiplicatively: prod P_i^{e_i}) with the
+# same digit-position-parallel structure as mont_expprod_pallas: write
+# e_i = sum_j 2^{W j} d_ij, accumulate per-position partial sums
+# S_j = sum_i d_ij * P_i at full lane width (ONE batched Jacobian add
+# per chunk per position — no per-element doublings), then combine
+# sum_j 2^{W j} S_j with W doublings per position.  Replaces the naive
+# ECArray.exp_prod (full scalar-mul per element + add tree): ~2x fewer
+# field products and every product VMEM-resident.
+
+_EP_JB = 16  # digit positions per accumulate-kernel grid block
+_EP_SUPER = 1024  # chunks per super-chunk (table HBM cap)
+
+
+def _ec_mexp_tbl_kernel(
+    x_ref, y_ref, inf_ref, m_ref, one_ref, mp_ref,
+    tx_ref, ty_ref, tz_ref, mb_ref,
+):
+    """Jacobian multiples table for one (L, TN) tile of points."""
+    L = x_ref.shape[0]
+    TN = x_ref.shape[1]
+    m = m_ref[:]
+    mp = mp_ref[0, 0]
+    one = one_ref[:]
+    zero2 = jnp.zeros((2, TN), jnp.uint32)
+    m_ext = jnp.concatenate([m, zero2], axis=0)
+    F = _F(m, mp, m_ext, mb_ref)
+
+    X1 = x_ref[:]
+    Y1 = y_ref[:]
+    inf = inf_ref[:1, :]
+    Z1 = _msel(inf, jnp.zeros((L, TN), jnp.uint32), one)
+    zeros = jnp.zeros((L, TN), jnp.uint32)
+
+    tx_ref[pl.ds(0, L), :] = zeros
+    ty_ref[pl.ds(0, L), :] = one
+    tz_ref[pl.ds(0, L), :] = zeros
+    tx_ref[pl.ds(L, L), :] = X1
+    ty_ref[pl.ds(L, L), :] = Y1
+    tz_ref[pl.ds(L, L), :] = Z1
+
+    def tbl_body(d, _):
+        pX = tx_ref[pl.ds((d - 1) * L, L), :]
+        pY = ty_ref[pl.ds((d - 1) * L, L), :]
+        pZ = tz_ref[pl.ds((d - 1) * L, L), :]
+        nX, nY, nZ = _point_add(F, pX, pY, pZ, X1, Y1, Z1)
+        tx_ref[pl.ds(d * L, L), :] = nX
+        ty_ref[pl.ds(d * L, L), :] = nY
+        tz_ref[pl.ds(d * L, L), :] = nZ
+        return 0
+
+    jax.lax.fori_loop(2, 1 << _WINDOW, tbl_body, 0, unroll=False)
+
+
+def _ec_mexp_acc_kernel(
+    tx_ref, ty_ref, tz_ref, e_ref, m_ref, one_ref, mp_ref,
+    ox_ref, oy_ref, oz_ref, mb_ref,
+):
+    """Fold one chunk's table entries into per-position lane partials.
+
+    Grid (n_pos_blocks, n_chunks), chunks fastest (consecutive-revisit
+    reduction); row block jj of the outputs holds, per lane t, the
+    running Jacobian sum over chunks of d_{t,j} * P_t for position
+    j = pb*_EP_JB + jj.
+    """
+    L = m_ref.shape[0]
+    TN = e_ref.shape[1]
+    pb = pl.program_id(0)
+    c = pl.program_id(1)
+    m = m_ref[:]
+    mp = mp_ref[0, 0]
+    one = one_ref[:]
+    zero2 = jnp.zeros((2, TN), jnp.uint32)
+    m_ext = jnp.concatenate([m, zero2], axis=0)
+    F = _F(m, mp, m_ext, mb_ref)
+    digits_per_limb = LIMB_BITS // _WINDOW
+    dig_mask = jnp.uint32((1 << _WINDOW) - 1)
+    zeros = jnp.zeros((L, TN), jnp.uint32)
+
+    @pl.when(c == 0)
+    def _():
+        for jj in range(_EP_JB):
+            ox_ref[pl.ds(jj * L, L), :] = zeros
+            oy_ref[pl.ds(jj * L, L), :] = one
+            oz_ref[pl.ds(jj * L, L), :] = zeros
+
+    for jj in range(_EP_JB):
+        j = pb * _EP_JB + jj
+        limb = j // digits_per_limb
+        shift = ((j % digits_per_limb) * _WINDOW).astype(jnp.uint32)
+        row = e_ref[pl.ds(limb, 1), :]
+        dig = (row >> shift) & dig_mask
+        fX = jnp.zeros((L, TN), jnp.uint32)
+        fY = jnp.zeros((L, TN), jnp.uint32)
+        fZ = jnp.zeros((L, TN), jnp.uint32)
+        for d in range(1 << _WINDOW):
+            sel = (dig == jnp.uint32(d)).astype(jnp.uint32)
+            fX = fX + sel * tx_ref[pl.ds(d * L, L), :]
+            fY = fY + sel * ty_ref[pl.ds(d * L, L), :]
+            fZ = fZ + sel * tz_ref[pl.ds(d * L, L), :]
+        aX = ox_ref[pl.ds(jj * L, L), :]
+        aY = oy_ref[pl.ds(jj * L, L), :]
+        aZ = oz_ref[pl.ds(jj * L, L), :]
+        rX, rY, rZ = _point_add(F, aX, aY, aZ, fX, fY, fZ)
+        ox_ref[pl.ds(jj * L, L), :] = rX
+        oy_ref[pl.ds(jj * L, L), :] = rY
+        oz_ref[pl.ds(jj * L, L), :] = rZ
+
+
+@functools.partial(jax.jit, static_argnames=("curve", "nbits"))
+def ec_multiexp_pallas(curve, x, y, inf, e, nbits: int):
+    """sum_i e_i * P_i via the digit-position-parallel kernels.
+
+    curve: arith.ec._Curve (static; per-group singleton).  x, y: (N, L)
+    affine Montgomery coords; inf: (N,) bool; e: (N, Le) standard limbs
+    < 2^nbits.  Returns ONE Jacobian point (X, Y, Z), each (L,) — the
+    caller normalizes.
+    """
+    ctx = curve.ctx
+    m = ctx.m_limbs
+    mprime = ctx.mprime
+    one_mont = ctx.one_mont
+    N, L = x.shape
+    ndig = max(1, (nbits + _WINDOW - 1) // _WINDOW)
+    n_pb = -(-ndig // _EP_JB)
+    ndig_pad = n_pb * _EP_JB
+    need_limbs = (ndig_pad * _WINDOW + LIMB_BITS - 1) // LIMB_BITS
+    if e.shape[1] < need_limbs:
+        e = jnp.concatenate(
+            [e, jnp.zeros((N, need_limbs - e.shape[1]), jnp.uint32)],
+            axis=1,
+        )
+    Le = e.shape[1]
+    tn = TILE_N
+    Npad = _round_up(N, tn)
+    if Npad != N:
+        pad = Npad - N
+        x = jnp.concatenate([x, jnp.zeros((pad, L), jnp.uint32)], axis=0)
+        y = jnp.concatenate([y, jnp.zeros((pad, L), jnp.uint32)], axis=0)
+        inf = jnp.concatenate([inf, jnp.ones((pad,), bool)], axis=0)
+        e = jnp.concatenate([e, jnp.zeros((pad, Le), jnp.uint32)], axis=0)
+    n_chunks = Npad // tn
+    W = 1 << _WINDOW
+    mp2 = jnp.asarray(mprime, jnp.uint32).reshape(1, 1)
+    m_col = jnp.broadcast_to(m.reshape(L, 1), (L, tn))
+    one_col = jnp.broadcast_to(one_mont.reshape(L, 1), (L, tn))
+    xT, yT, eT = x.T, y.T, e.T
+    inf_row = inf.astype(jnp.uint32).reshape(1, Npad)
+
+    col_spec = pl.BlockSpec((L, tn), lambda i: (0, i),
+                            memory_space=pltpu.VMEM)
+    fix_spec = pl.BlockSpec((L, tn), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    parts = []
+    for s0 in range(0, n_chunks, _EP_SUPER):
+        sc = min(_EP_SUPER, n_chunks - s0)
+        sl = lambda a: jax.lax.slice_in_dim(
+            a, s0 * tn, (s0 + sc) * tn, axis=1
+        )
+        tbls = _pallas_call(
+            _ec_mexp_tbl_kernel,
+            grid=(sc,),
+            in_specs=[
+                col_spec, col_spec,
+                pl.BlockSpec((1, tn), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                fix_spec, fix_spec,
+                pl.BlockSpec((1, 1), lambda i: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((W * L, tn), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+            ] * 3,
+            out_shape=[
+                jax.ShapeDtypeStruct((W * L, sc * tn), jnp.uint32)
+                for _ in range(3)
+            ],
+            scratch_shapes=[pltpu.VMEM((L, tn), jnp.uint32)],
+        )(sl(xT), sl(yT), sl(inf_row), m_col, one_col, mp2)
+        outs = _pallas_call(
+            _ec_mexp_acc_kernel,
+            grid=(n_pb, sc),
+            in_specs=[
+                pl.BlockSpec((W * L, tn), lambda pb, c: (0, c),
+                             memory_space=pltpu.VMEM),
+            ] * 3 + [
+                pl.BlockSpec((Le, tn), lambda pb, c: (0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, tn), lambda pb, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, tn), lambda pb, c: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1), lambda pb, c: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((_EP_JB * L, tn), lambda pb, c: (pb, 0),
+                             memory_space=pltpu.VMEM),
+            ] * 3,
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pb * _EP_JB * L, tn), jnp.uint32)
+                for _ in range(3)
+            ],
+            scratch_shapes=[pltpu.VMEM((L, tn), jnp.uint32)],
+        )(tbls[0], tbls[1], tbls[2], sl(eT), m_col, one_col, mp2)
+        parts.append(outs)
+
+    if len(parts) > 1:
+        allp = [
+            jnp.concatenate([p[i] for p in parts], axis=1)
+            for i in range(3)
+        ]
+    else:
+        allp = list(parts[0])
+    lanes = allp[0].shape[1]
+    # limb-major (ndig_pad*L, lanes) -> element-major (ndig_pad, lanes, L)
+    PX, PY, PZ = (
+        jnp.transpose(a.reshape(ndig_pad, L, lanes), (0, 2, 1))
+        for a in allp
+    )
+
+    # cross-lane Jacobian add tree (batched XLA formulas)
+    while PX.shape[1] > 1:
+        h = PX.shape[1] // 2
+        nX, nY, nZ = curve.point_add(
+            PX[:, :h], PY[:, :h], PZ[:, :h],
+            PX[:, h : 2 * h], PY[:, h : 2 * h], PZ[:, h : 2 * h],
+        )
+        if PX.shape[1] % 2:
+            nX = jnp.concatenate([nX, PX[:, 2 * h :]], axis=1)
+            nY = jnp.concatenate([nY, PY[:, 2 * h :]], axis=1)
+            nZ = jnp.concatenate([nZ, PZ[:, 2 * h :]], axis=1)
+        PX, PY, PZ = nX, nY, nZ
+    PX, PY, PZ = PX[:, 0], PY[:, 0], PZ[:, 0]  # (ndig_pad, L)
+
+    # final combine: sum_j 2^{W j} S_j — W doublings + 1 add per position
+    def body(k, carry):
+        X, Y, Z = carry
+        for _ in range(_WINDOW):
+            X, Y, Z = curve.point_double(X, Y, Z)
+        j = ndig_pad - 1 - k
+        pX = jax.lax.dynamic_index_in_dim(PX, j, 0, keepdims=False)
+        pY = jax.lax.dynamic_index_in_dim(PY, j, 0, keepdims=False)
+        pZ = jax.lax.dynamic_index_in_dim(PZ, j, 0, keepdims=False)
+        return curve.point_add(X, Y, Z, pX, pY, pZ)
+
+    zero = jnp.zeros((L,), jnp.uint32)
+    init = (zero, one_mont, zero)
+    return jax.lax.fori_loop(0, ndig_pad, body, init)
+
+
+# ------------------------------------------------------ fixed-base kernel
+
+
+def _ec_fb_kernel(
+    ndig: int,
+    tx_ref,  # (ndig*16, L) VMEM: affine x of d * 2^(W j) * P
+    ty_ref,  # (ndig*16, L) VMEM: affine y
+    e_ref,  # (Le, TN)
+    m_ref, one_ref, mp_ref,
+    ox_ref, oy_ref, oz_ref,
+    mb_ref,
+):
+    """Fixed-base scalar multiplication: no doublings — the table
+    absorbs them (the EC analogue of the gmpmee fixed-base route,
+    reference: SURVEY.md §2.3).  One mixed Jacobian+affine addition per
+    digit; the per-lane digit gather is the exact one-hot f32 matmul of
+    the Montgomery fixed-base kernel (entries are 16-bit limbs, exact
+    in f32).  Entry d = 0 is the point at infinity, flagged by the
+    digit value (its table rows are unused)."""
+    L = m_ref.shape[0]
+    TN = e_ref.shape[1]
+    m = m_ref[:]
+    mp = mp_ref[0, 0]
+    one = one_ref[:]
+    zero2 = jnp.zeros((2, TN), jnp.uint32)
+    m_ext = jnp.concatenate([m, zero2], axis=0)
+    F = _F(m, mp, m_ext, mb_ref)
+    W = 1 << _WINDOW
+    digits_per_limb = LIMB_BITS // _WINDOW
+    dig_mask = jnp.uint32(W - 1)
+    zeros = jnp.zeros((L, TN), jnp.uint32)
+
+    ox_ref[:] = zeros
+    oy_ref[:] = one
+    oz_ref[:] = zeros
+
+    def digit_body(j, _):
+        limb = j // digits_per_limb
+        shift = (j % digits_per_limb) * _WINDOW
+        row = e_ref[pl.ds(limb, 1), :]  # (1, TN)
+        dig = ((row >> shift.astype(jnp.uint32)) & dig_mask).astype(
+            jnp.int32
+        )
+        onehot = (
+            jax.lax.broadcasted_iota(jnp.int32, (W, TN), 0) == dig
+        ).astype(jnp.float32)
+
+        def gather(t_ref):
+            rows = [t_ref[pl.ds(j * W + d, 1), :] for d in range(W)]
+            trow = (
+                jnp.concatenate(rows, axis=0)
+                .astype(jnp.int32)
+                .astype(jnp.float32)
+            )  # (16, L)
+            return (
+                jax.lax.dot_general(
+                    trow, onehot,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                .astype(jnp.int32)
+                .astype(jnp.uint32)
+            )  # (L, TN)
+
+        fX = gather(tx_ref)
+        fY = gather(ty_ref)
+        finf = (dig == 0).astype(jnp.uint32)  # (1, TN)
+        fZ = _msel(finf, zeros, one)
+        rX, rY, rZ = _point_add(
+            F, ox_ref[:], oy_ref[:], oz_ref[:], fX, fY, fZ
+        )
+        ox_ref[:] = rX
+        oy_ref[:] = rY
+        oz_ref[:] = rZ
+        return 0
+
+    jax.lax.fori_loop(0, ndig, digit_body, 0, unroll=False)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n",))
+def ec_fb_exp_pallas(table_x, table_y, e, m, mprime, one_mont,
+                     tile_n=None):
+    """Batched e*P for a FIXED base P via the windowed-table kernel.
+
+    table_x/y: (ndig, 16, L) affine Montgomery coords of d * 2^(W j) * P
+    (d = 0 rows ignored).  e: (N, Le) standard limbs.  Returns Jacobian
+    (X, Y, Z) each (N, L); the caller normalizes.
+    """
+    ndig, W, L = table_x.shape
+    assert W == 1 << _WINDOW
+    N, Le = e.shape
+    need_limbs = (ndig * _WINDOW + LIMB_BITS - 1) // LIMB_BITS
+    if Le < need_limbs:
+        e = jnp.concatenate(
+            [e, jnp.zeros((N, need_limbs - Le), jnp.uint32)], axis=1
+        )
+        Le = need_limbs
+    tn = tile_n or min(TILE_N, _round_up(N, 128))
+    mp2 = jnp.asarray(mprime, jnp.uint32).reshape(1, 1)
+    m_col = jnp.broadcast_to(m.reshape(L, 1), (L, tn))
+    one_col = jnp.broadcast_to(one_mont.reshape(L, 1), (L, tn))
+    kernel = functools.partial(_ec_fb_kernel, ndig)
+    R = ndig * W
+    tbl_spec = pl.BlockSpec((R, L), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    outs = _pallas_call(
+        kernel,
+        grid=(pl.cdiv(N, tn),),
+        in_specs=[
+            tbl_spec, tbl_spec,
+            pl.BlockSpec((Le, tn), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, tn), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, tn), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((L, tn), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+        ] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((L, e.T.shape[1]), jnp.uint32)
+            for _ in range(3)
+        ],
+        scratch_shapes=[pltpu.VMEM((L, tn), jnp.uint32)],
+    )(table_x.reshape(R, L), table_y.reshape(R, L), e.T, m_col,
+      one_col, mp2)
+    X, Y, Z = outs
+    return X.T, Y.T, Z.T
+
+
 # ------------------------------------------------------- point-add kernel
 
 

@@ -613,11 +613,15 @@ def _expprod_acc_kernel(tbl_ref, e_ref, m_ref, one_ref, mp_ref, out_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("nbits",))
-def mont_expprod_pallas(bases, e, m, mprime, one_mont, nbits: int):
-    """prod_i bases_i^{e_i} via the digit-position-parallel kernels.
+def mont_expprod_positions(bases, e, m, mprime, one_mont, nbits: int):
+    """Per-digit-position products P_j = prod_i bases_i^{d_ij} where
+    e_i = sum_j 2^{W j} d_ij.  Returns (ndig_pad, L) Montgomery form
+    (padded positions hold the identity).
 
-    bases: (N, L) canonical Montgomery form; e: (N, Le) standard limbs
-    with values < 2^nbits.  Returns (L,) Montgomery form.
+    Besides powering `mont_expprod_pallas`, the positions are directly
+    a batched quadratic-residuosity test: with uniform digits, each
+    P_j's Legendre symbol is an independent coin that lands -1 with
+    probability 1/2 when ANY base is a non-residue.
     """
     from vmn_tpu.arith import mont as _mont
 
@@ -720,7 +724,20 @@ def mont_expprod_pallas(bases, e, m, mprime, one_mont, nbits: int):
             jnp.concatenate([lo, P[:, 2 * h :]], axis=1)
             if P.shape[1] % 2 else lo
         )
-    P = P[:, 0]  # (ndig_pad, L)
+    return P[:, 0]  # (ndig_pad, L)
+
+
+@functools.partial(jax.jit, static_argnames=("nbits",))
+def mont_expprod_pallas(bases, e, m, mprime, one_mont, nbits: int):
+    """prod_i bases_i^{e_i} via the digit-position-parallel kernels.
+
+    bases: (N, L) canonical Montgomery form; e: (N, Le) standard limbs
+    with values < 2^nbits.  Returns (L,) Montgomery form.
+    """
+    from vmn_tpu.arith import mont as _mont
+
+    P = mont_expprod_positions(bases, e, m, mprime, one_mont, nbits)
+    ndig_pad = P.shape[0]
 
     # final combine: prod_j P_j^{2^{W j}} — the only sequential tail
     def body(k, acc):

@@ -74,6 +74,10 @@ class RawInterface:
     def write_plaintexts(self, plain, path) -> None:
         Path(path).write_bytes(plain.to_bytetree().to_bytes())
 
+    def read_plaintexts(self, plain_group, path):
+        bt = ByteTree.read_file(path)
+        return plain_group.elem_from_bytetree(bt)
+
     def decode_plaintexts(self, plain, path) -> None:
         """Write decoded message strings, one per line
         (reference: decodePlaintexts)."""
@@ -102,6 +106,10 @@ class NativeInterface(RawInterface):
 
     def write_plaintexts(self, plain, path) -> None:
         Path(path).write_text(plain.to_bytetree().to_hex() + "\n")
+
+    def read_plaintexts(self, plain_group, path):
+        bt = ByteTree.from_hex(Path(path).read_text().strip())
+        return plain_group.elem_from_bytetree(bt)
 
 
 class JSONInterface(RawInterface):
@@ -157,6 +165,23 @@ class JSONInterface(RawInterface):
             [str(col[i]) for col in cols] for i in range(len(cols[0]))
             ] if len(comps) > 1 else [str(x) for x in cols[0]]
         Path(path).write_text(_json.dumps(rows) + "\n")
+
+    def read_plaintexts(self, plain_group, path):
+        rows = _json.loads(Path(path).read_text())
+        base = plain_group
+        while isinstance(base, PPGroup):
+            base = base.project(0)
+        if rows and isinstance(rows[0], list):
+            cols = [
+                base.from_ints([int(r[c]) for r in rows])
+                for c in range(len(rows[0]))
+            ]
+            return _unflatten(plain_group, cols)
+        arr = base.from_ints([int(x) for x in rows])
+        return (
+            _unflatten(plain_group, [arr])
+            if isinstance(plain_group, PPGroup) else arr
+        )
 
 
 class JSONDecodeInterface(JSONInterface):

@@ -378,6 +378,8 @@ class FiatShamirVerifier:
         if maxciph < n:
             self._fail("maxciph smaller than number of ciphertexts")
         generators = ctx.independent_generators("generators", maxciph)
+        self._tv("bas.h",
+                 lambda: generators.to_bytetree().to_bytes().hex())
         shrunk_generators = generators.copy_of_range(0, n)
         g = ctx.pgroup.g
         wide_pk_elem = fpk.widen(width).as_ciph_elem()
@@ -400,6 +402,8 @@ class FiatShamirVerifier:
                 )
             except (ByteTreeError, ValueError):
                 perm_comm = generators.copy_of_range(0, maxciph)
+            self._tv("u",
+                     lambda: perm_comm.to_bytetree().to_bytes().hex())
             if getattr(self, "_check_posc", True):
                 V = PoSCVerifier(pos_par)
                 V.set_instance(g, generators, perm_comm)
@@ -441,11 +445,11 @@ class FiatShamirVerifier:
             if l == active_threshold and not out_file.exists():
                 out_file = self.nizkp / "ShuffledCiphertexts.bt"
             try:
-                out = ciph_group.elem_from_bytetree(
-                    self._read_bt(out_file), n
-                )
+                out_bt = self._read_bt(out_file)
+                out = ciph_group.elem_from_bytetree(out_bt, n)
             except (ByteTreeError, ValueError):
                 self._fail(f"malformed output list of party {l}")
+            self._tv("bas.L_l", lambda bt=out_bt: bt.to_bytes().hex())
 
             if getattr(self, "_check_ccpos", True):
                 CV = CCPoSVerifier(pos_par)
