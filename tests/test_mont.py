@@ -174,3 +174,44 @@ def test_broadcasting_scalar_base():
     e = np.asarray(ints_to_limbs(es, 13))
     got = ctx.decode(ctx.exp(g, e, 200))
     assert got == [pow(7, ee, m) for ee in es]
+
+
+def test_chunked_scans_match_plain():
+    """The huge-batch chunked scan drivers agree with the one-jit scans
+    (exercised with a tiny chunk size)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from vmn_tpu.arith import mont as M
+    from vmn_tpu.arith.limbs import int_to_limbs
+
+    ctx = M.MontCtx((1 << 61) - 1)
+    rng = np.random.default_rng(5)
+    n = 37
+    xs = [int(rng.integers(1, (1 << 61) - 1)) for _ in range(n)]
+    bs = [int(rng.integers(0, (1 << 61) - 1)) for _ in range(n)]
+    xm = ctx.to_mont(jnp.asarray(np.stack(
+        [int_to_limbs(v, ctx.L) for v in xs]
+    )))
+    bstd = jnp.asarray(np.stack([int_to_limbs(v, ctx.L) for v in bs]))
+
+    old = M._SCAN_CHUNK
+    M._SCAN_CHUNK = 8
+    try:
+        got = M._prods_scan_chunked(
+            xm, ctx.m_limbs, ctx.mprime, ctx.one_mont, False
+        )
+        want = M._prods_scan(
+            xm, ctx.m_limbs, ctx.mprime, ctx.one_mont, False
+        )
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+        got = M._rec_lin_chunked(
+            xm, bstd, ctx.m_limbs, ctx.mprime, ctx.one_mont, False
+        )
+        want = M._rec_lin_scan(
+            xm, bstd, ctx.m_limbs, ctx.mprime, ctx.one_mont, False
+        )
+        assert np.array_equal(np.asarray(got), np.asarray(want))
+    finally:
+        M._SCAN_CHUNK = old

@@ -138,3 +138,22 @@ def test_tpu_kernel_parity_n_2_20():
         )
         want = pow(base_ints[i % 64], ei, group.p)
         assert limbs_to_int(rows[k]) == want, f"row {i}"
+
+
+@pytest.mark.skipif(
+    os.environ.get("VMN_TPU_TESTS") != "1",
+    reason="TPU-only north-star test; set VMN_TPU_TESTS=1 on a TPU host",
+)
+def test_tpu_northstar_full_protocol_2_20():
+    """The north star on real hardware: full mix+prove+VERIFY at
+    N=2^20 > 10^6 ciphertexts, 2048-bit group, with plaintext-multiset
+    correctness (reference: the mixing_lengths axis of
+    demo/mixnet/benchmarks/bench_config:33-46 at production scale;
+    exercises the HBM discipline — phase backpressure, chunked scans,
+    bounded kernel launches, super-chunked multi-exp)."""
+    from tools.bench_suite import _mix_once
+
+    cps, dt, dtv, ok = _mix_once(1 << 20, time_verify=True,
+                                 check_correct=True)
+    assert ok
+    assert cps > 0 and dtv > 0

@@ -207,6 +207,7 @@ def _mix_once(n, k=1, threshold=1, width=1, group_name="modp2048",
             (n,), SeededSource(b"bs-enc"), 0
         )
         ciphs = elgamal.encrypt(pk.widen(width), m, r)
+        del r  # 0.5 GB at N=2^20 — dead after encryption
         jax.block_until_ready(jax.tree_util.tree_leaves(
             [getattr(c, "limbs", getattr(c, "x", None))
              for c in _leaves(ciphs)]
@@ -215,6 +216,9 @@ def _mix_once(n, k=1, threshold=1, width=1, group_name="modp2048",
         # warm pass
         hub2 = LocalBoardHub(k)
         _run_mix(parties, hub2, "warm", width, ciphs, k)
+        import gc
+
+        gc.collect()  # free warm-pass device buffers before timing
         hub3 = LocalBoardHub(k)
         t0 = time.time()
         outs = _run_mix(parties, hub3, "timed", width, ciphs, k)

@@ -383,6 +383,57 @@ def _expprod_shared(bases, e, m, mprime, one_mont, nbits: int,
     return acc[0]
 
 
+_SCAN_CHUNK_N = 1 << 18  # chunk Hillis-Steele scans above this size
+_SCAN_CHUNK = 1 << 16
+
+
+def _prods_scan_chunked(x, m, mprime, one_mont, pallas: bool):
+    """Sequentially chunked cumulative product for huge batches.
+
+    The one-jit Hillis-Steele scan holds every round's buffers when the
+    products are Pallas custom calls (XLA does not reuse across custom
+    calls): ~20 rounds x 4 arrays = ~10 GB internal peak at N=2^20,
+    which OOMs the chip on top of the protocol's live set.  Chunks of
+    2^16 bound the peak; the carry composes chunk k into chunk k+1 with
+    one broadcast product.  A tiny fetch per chunk drains the queue.
+    """
+    outs = []
+    carry = None  # (L,) Montgomery form
+    for s in range(0, x.shape[0], _SCAN_CHUNK):
+        part = _prods_scan(x[s : s + _SCAN_CHUNK], m, mprime, one_mont,
+                           pallas)
+        if carry is not None:
+            part = _mul_dispatch(
+                part, jnp.broadcast_to(carry, part.shape), m, mprime,
+                pallas,
+            )
+        carry = part[-1]
+        np.asarray(part[:1, :1])  # drain (see `backpressure`)
+        outs.append(part)
+    return jnp.concatenate(outs, axis=0)
+
+
+def _rec_lin_chunked(mm, aa, m, mprime, one_mont, pallas: bool):
+    """Sequentially chunked affine-recurrence scan (see
+    _prods_scan_chunked).  Chunk-to-chunk composition mirrors the
+    sharded mesh wrapper: x = A_loc + x_in * M_pref per chunk."""
+    outs = []
+    x_in = None  # (L,) standard form
+    for s in range(0, mm.shape[0], _SCAN_CHUNK):
+        mmc = mm[s : s + _SCAN_CHUNK]
+        aac = aa[s : s + _SCAN_CHUNK]
+        a_loc = _rec_lin_scan(mmc, aac, m, mprime, one_mont, pallas)
+        if x_in is not None:
+            m_pref = _prods_scan(mmc, m, mprime, one_mont, pallas)
+            a_loc = add_mod(
+                _mont_mul(m_pref, x_in[None, :], m, mprime), a_loc, m
+            )
+        x_in = a_loc[-1]
+        np.asarray(a_loc[:1, :1])  # drain
+        outs.append(a_loc)
+    return jnp.concatenate(outs, axis=0)
+
+
 def _expprod_fast(bases, e, m, mprime, one_mont, nbits: int, pallas: bool):
     """Multi-exp dispatch: fused digit-position-parallel Pallas kernels
     for device-sized batches, host-tree Straus otherwise."""
@@ -506,6 +557,32 @@ def device_limbs(arr) -> jnp.ndarray:
     if arr.dtype != np.uint16:
         arr = arr.astype(np.uint16)
     return _widen_u16(jnp.asarray(arr))
+
+
+_BACKPRESSURE_N = 1 << 18
+
+
+def backpressure(*arrays) -> None:
+    """Drain the device queue at phase boundaries for huge batches.
+
+    JAX allocates every dispatched op's output at ENQUEUE time; a whole
+    mix phase dispatched ahead of execution at N = 2^20 (512 MB per
+    2048-bit array) transiently holds tens of GB and OOMs the 16 GB
+    chip.  A one-element fetch waits for all queued work (in-order
+    execution), letting dead intermediate buffers free.  No-op below
+    2^18 elements; costs one tunnel round-trip (~ms) above."""
+    for a in arrays:
+        if hasattr(a, "components"):
+            backpressure(*a.components)
+            continue
+        limbs = getattr(a, "limbs", a)
+        if (
+            hasattr(limbs, "shape")
+            and limbs.ndim >= 2
+            and limbs.shape[0] >= _BACKPRESSURE_N
+        ):
+            np.asarray(limbs[:1, :1])
+            return
 
 
 def host_limbs(x) -> np.ndarray:
@@ -722,9 +799,27 @@ class MontCtx:
 
             shape, b2, e2 = _flatten_pair(base, e, self.L)
             if b2.shape[0] > 0:
-                out = mont_exp_pallas(
-                    b2, e2, self.m_limbs, self.mprime, self.one_mont, nbits
-                )
+                # Bound single-kernel runtime: one fused exp call at
+                # N=2^20 x 2048-bit runs ~3 min and trips the TPU
+                # worker watchdog ("worker crashed / kernel fault").
+                # ~2^29 element-bits per launch keeps each call < ~30 s.
+                max_elems = max(1 << 14, (1 << 29) // max(1, nbits))
+                if b2.shape[0] > max_elems:
+                    outs = []
+                    for s in range(0, b2.shape[0], max_elems):
+                        part = mont_exp_pallas(
+                            b2[s : s + max_elems], e2[s : s + max_elems],
+                            self.m_limbs, self.mprime, self.one_mont,
+                            nbits,
+                        )
+                        np.asarray(part[:1, :1])  # drain the queue
+                        outs.append(part)
+                    out = jnp.concatenate(outs, axis=0)
+                else:
+                    out = mont_exp_pallas(
+                        b2, e2, self.m_limbs, self.mprime, self.one_mont,
+                        nbits,
+                    )
                 return out.reshape(shape + (self.L,))
         return mont_exp(
             base, e, self.m_limbs, self.mprime, self.one_mont, nbits
@@ -801,6 +896,10 @@ class MontCtx:
                 return _prods_scan(
                     x, self.m_limbs, self.mprime, self.one_mont, False
                 )
+        if x.ndim == 2 and x.shape[0] >= _SCAN_CHUNK_N:
+            return _prods_scan_chunked(
+                x, self.m_limbs, self.mprime, self.one_mont, use_pallas()
+            )
         return _prods_scan(
             x, self.m_limbs, self.mprime, self.one_mont, use_pallas()
         )
@@ -821,6 +920,11 @@ class MontCtx:
                     mult_mont, add_std, self.m_limbs, self.mprime,
                     self.one_mont, False,
                 )
+        if mult_mont.ndim == 2 and mult_mont.shape[0] >= _SCAN_CHUNK_N:
+            return _rec_lin_chunked(
+                mult_mont, add_std, self.m_limbs, self.mprime,
+                self.one_mont, use_pallas(),
+            )
         return _rec_lin_scan(
             mult_mont, add_std, self.m_limbs, self.mprime, self.one_mont,
             use_pallas(),

@@ -75,6 +75,11 @@ class PoSProver:
         self.Ap = g.exp(self.alpha).mul(
             h.exp_prod(self.epsilon, self.eps_bits)
         )
+        # drain the device queue between phases at huge N (see
+        # mont.backpressure: enqueue-time allocation OOMs at 2^20)
+        from vmn_tpu.arith.mont import backpressure
+
+        backpressure(self.u)
 
     # ------------------------------------------------------ instance
 
@@ -103,9 +108,13 @@ class PoSProver:
         h0 = self.h.get(0)
 
         # b random; x = recLin(b, ipe); y = prods(ipe)
+        from vmn_tpu.arith.mont import backpressure
+
         self.b = ring.random((n,), self.rs, par.rbitlen)
         x, self.d = self.b.rec_lin(self.ipe)
+        backpressure(x)
         y = self.ipe.prods()
+        backpressure(y)
 
         # B_i = g^{x_i} h0^{y_i}
         # h0 stays scalar-shaped: ctx.exp broadcasts a 1-D base and
@@ -113,14 +122,20 @@ class PoSProver:
         # hid the shared base and forced variable-base windowed exps —
         # ~5x the products).
         self.B = self.g.exp(x).mul(h0.exp(y))
+        from vmn_tpu.arith.mont import backpressure
+
+        backpressure(self.B)
 
         # blinders: B'_i = g^{beta_i + xp_i eps_i} h0^{yp_i eps_i}
         self.beta = ring.random((n,), self.rs, par.rbitlen)
         xp = x.shift_push(ring.zeros(()))
         yp = y.shift_push(ring.ones(()))
+        del x, y  # only the shifted copies are live from here
         self.Bp = self.g.exp(self.beta.add(xp.mul(self.epsilon))).mul(
             h0.exp(yp.mul(self.epsilon))
         )
+        backpressure(self.Bp)
+        del xp, yp
 
         self.gamma = ring.random((), self.rs, par.rbitlen)
         self.Cp = self.g.exp(self.gamma)
@@ -132,6 +147,7 @@ class PoSProver:
         self.Fp = self.pkey.exp(self.phi.neg()).mul(
             self.wp.exp_prod(self.epsilon, self.eps_bits)
         )
+        backpressure(self.B)
 
         return node(
             self.B.to_bytetree(),

@@ -712,6 +712,9 @@ class MixSession:
                 if out is None:
                     out = _own_output(inp)
                     out_bytes = out.to_bytetree().to_bytes()
+                # re-encryption factors are dead once the output list
+                # exists (the prover keeps only the exponents)
+                reenc_factors = None
                 b.publish(f"Ciphertext{l}", out_bytes)
                 party.log.child().info(
                     "Re-encrypt, permute and prove (CCPoS)."
@@ -884,6 +887,9 @@ class MixSession:
                 wide_pk, reenc_exponents
             )
             permutation = Permutation.random(n, self.rs)
+            from vmn_tpu.arith.mont import backpressure
+
+            backpressure(reenc_factors)
             prover = PoSProver(pos_par, self.rs)
             prover.precompute(g, generators, permutation)
 
@@ -907,6 +913,9 @@ class MixSession:
                 if out is None:
                     out = _own_output(inp)
                     out_bytes = out.to_bytetree().to_bytes()
+                # re-encryption factors are dead once the output list
+                # exists (the prover keeps only the exponents)
+                reenc_factors = None
                 b.publish(f"Ciphertext{l}", out_bytes)
                 party.log.child().info(
                     "Re-encrypt, permute and prove shuffle (PoS)."
@@ -915,6 +924,11 @@ class MixSession:
                     b, l, prover, wide_pk_elem, inp, out, reenc_exponents
                 )
                 valid_proofs += 1
+                # own turn done: the re-encryption arrays (1.5 GB at
+                # N=2^20, 2048-bit) are dead — release them so the
+                # remaining chain fits in HBM
+                reenc_factors = None
+                reenc_exponents = None
             else:
                 out_bt = ByteTree.from_bytes(b.wait_for(l, f"Ciphertext{l}"))
                 try:
@@ -982,6 +996,9 @@ class MixSession:
             8 * ctx.prg.min_seed_bytes,
             ctx.rbitlen,
         )
+        # u's device copy is dead after the seed hash (its bytes are
+        # memoized above) — 0.5 GB back at N=2^20
+        prover.u = None
         commitment = prover.commit(seed)
         self._export(self._pf("PoSCommitment", l), commitment)
         b.publish(f"PoSCommitment{l}", commitment.to_bytes())
@@ -1090,6 +1107,9 @@ class MixSession:
         x = party.dkg.secret_share
         exp_own = x.neg().mul(field.from_int(inv_factor))
         f_own = u.exp(exp_own)
+        from vmn_tpu.arith.mont import backpressure
+
+        backpressure(f_own)
         if is_active[self.j]:
             b.publish(f"DecryptionFactors{self.j}",
                       f_own.to_bytetree().to_bytes())
