@@ -850,7 +850,14 @@ class ECArray:
         addition per digit — ~1.8x fewer field products than the
         general scalar-mul kernel, plus a cached one-time table."""
         c = self.grp.curve
-        if (
+        # The windowed fixed-base route is DISABLED pending a table
+        # re-layout: its (ndig*16, L) VMEM table puts the small EC field
+        # (L=16 limbs for P-256) on the 128-lane axis, so every per-digit
+        # gather runs at ~12% lane utilization — measured 4.6x SLOWER
+        # than the general fused scalar-mul kernel (P-256 mix 1183 ->
+        # 514 c/s).  The kernel itself is correct (test_kernels) and
+        # wins once the table is packed lane-major.
+        if False and (
             mont.use_pallas()
             and self.x.ndim == 1
             and e_limbs.ndim == 2
@@ -903,11 +910,15 @@ class ECArray:
         nbits = self.grp.ring.nbits if nbits is None else nbits
         nbits = min(nbits, LIMB_BITS * e.limbs.shape[-1])
         c = self.grp.curve
+        # Crossover vs the naive scalar-mul + add-tree: the fused path
+        # saves ~1700 field muls/element but pays ~0.4 s of fixed
+        # overhead (lane reduce + the sequential position combine) —
+        # measured break-even near 10^5 elements on P-256.
         if (
             mont.use_pallas()
             and self.x.ndim == 2
             and e.limbs.ndim == 2
-            and self.x.shape[0] >= 64
+            and self.x.shape[0] >= (1 << 17)
             and mont.shard_info(self.x, e.limbs) is None
         ):
             from vmn_tpu.ops.ec_kernels import ec_multiexp_pallas

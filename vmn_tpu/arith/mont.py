@@ -575,9 +575,11 @@ def backpressure(*arrays) -> None:
         if hasattr(a, "components"):
             backpressure(*a.components)
             continue
-        limbs = getattr(a, "limbs", a)
+        limbs = getattr(a, "limbs", None)
+        if limbs is None:
+            limbs = getattr(a, "x", a)  # ECArray coordinate
         if (
-            hasattr(limbs, "shape")
+            hasattr(limbs, "ndim")
             and limbs.ndim >= 2
             and limbs.shape[0] >= _BACKPRESSURE_N
         ):
