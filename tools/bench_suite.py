@@ -126,6 +126,32 @@ def bench_micro():
     t = _timeit(_ec_run)
     out["p256_scalar_mul_per_sec_per_chip"] = round(n_ec / t, 1)
 
+    # EC simultaneous multi-exp: sum_i e_i*P_i via the fused
+    # digit-position-parallel Straus kernel (reference: vec/gmpmee
+    # spowm over EC, SURVEY.md §2.3).  Benched at N=2^17 — the
+    # dispatch crossover where it beats naive scalar-mul + add-tree
+    # (arith/ec.py exp_prod).
+    from vmn_tpu.ops.ec_kernels import ec_multiexp_pallas
+
+    n_mx = 1 << 17
+    pts_mx = ec.g.broadcast(n_mx)
+    e_mx = jnp.asarray(
+        rng.integers(0, 1 << 16, size=(n_mx, 16), dtype=np.uint32)
+    )
+
+    def _mx_run():
+        X, _, _ = ec_multiexp_pallas(
+            ec.curve, pts_mx.x, pts_mx.y, pts_mx.inf, e_mx, 256
+        )
+        return X
+
+    t = _timeit(_mx_run)
+    out["p256_multiexp_per_sec"] = round(n_mx / t, 1)
+    # EC fixed-base: no separate micro row — the windowed-table kernel
+    # is kept out of the production dispatch (measured 4.6x layout
+    # penalty, arith/ec.py _exp_impl) so shared-base EC exps ride the
+    # general fused scalar-mul kernel benched above.
+
     # Roofline: in-kernel Montgomery product rate vs VPU lane-op bound.
     # One CIOS product = L iterations x (2 muls + ~8 adds/shifts/masks)
     # over L-limb rows = ~10*L^2 = 164k lane-ops at L=128.
