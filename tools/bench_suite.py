@@ -133,20 +133,54 @@ def bench_micro():
     # (arith/ec.py exp_prod).
     from vmn_tpu.ops.ec_kernels import ec_multiexp_pallas
 
+    # Distinct random bases P_i = s_i * G — production multi-exp inputs
+    # are arbitrary array elements, not copies of one point; identical
+    # bases would collapse the result to (sum e_i)*G and hide a
+    # per-element kernel bug behind a still-plausible rate.
     n_mx = 1 << 17
-    pts_mx = ec.g.broadcast(n_mx)
+    pts_g = ec.g.broadcast(n_mx)
+    s_mx = jnp.asarray(
+        rng.integers(0, 1 << 16, size=(n_mx, 16), dtype=np.uint32)
+    )
+    Xr, Yr, Zr = ec_scalar_mul_pallas(
+        pts_g.x, pts_g.y, pts_g.inf, s_mx, ectx.m_limbs, ectx.mprime,
+        ectx.one_mont, 256,
+    )
+    bx, by, binf = ec.curve.normalize(Xr, Yr, Zr)
     e_mx = jnp.asarray(
         rng.integers(0, 1 << 16, size=(n_mx, 16), dtype=np.uint32)
     )
 
+    # Cheap correctness gate before publishing a rate: kernel multi-exp
+    # at small N must equal per-element scalar-mul + product tree.
+    from vmn_tpu.arith.ec import ECArray
+
+    ns = 256
+    Xs, Ys, Zs = ec_multiexp_pallas(
+        ec.curve, bx[:ns], by[:ns], binf[:ns], e_mx[:ns], 256
+    )
+    gx, gy, ginf = ec.curve.normalize(Xs, Ys, Zs)
+    Xn, Yn, Zn = ec_scalar_mul_pallas(
+        bx[:ns], by[:ns], binf[:ns], e_mx[:ns], ectx.m_limbs,
+        ectx.mprime, ectx.one_mont, 256,
+    )
+    nx, ny, ninf = ec.curve.normalize(Xn, Yn, Zn)
+    want = ECArray(ec, nx, ny, ninf).prod()
+    if not (
+        np.array_equal(np.asarray(gx), np.asarray(want.x))
+        and np.array_equal(np.asarray(gy), np.asarray(want.y))
+        and bool(np.asarray(ginf)) == bool(np.asarray(want.inf))
+    ):
+        raise AssertionError("EC multi-exp kernel mismatch vs naive path")
+
     def _mx_run():
         X, _, _ = ec_multiexp_pallas(
-            ec.curve, pts_mx.x, pts_mx.y, pts_mx.inf, e_mx, 256
+            ec.curve, bx, by, binf, e_mx, 256
         )
         return X
 
     t = _timeit(_mx_run)
-    out["p256_multiexp_per_sec"] = round(n_mx / t, 1)
+    out["p256_multiexp_per_sec_per_chip"] = round(n_mx / t, 1)
     # EC fixed-base: no separate micro row — the windowed-table kernel
     # is kept out of the production dispatch (measured 4.6x layout
     # penalty, arith/ec.py _exp_impl) so shared-base EC exps ride the

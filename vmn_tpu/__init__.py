@@ -29,6 +29,24 @@ Layer map (mirrors reference SURVEY.md §1):
 __version__ = "0.1.0"
 
 
+def _machine_tag() -> str:
+    """Short fingerprint of this host's CPU feature set, used to scope
+    the persistent compile cache per machine type."""
+    import hashlib
+    import platform
+
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    ident += " " + " ".join(sorted(line.split()[2:]))
+                    break
+    except OSError:
+        pass
+    return "m" + hashlib.sha256(ident.encode()).hexdigest()[:10]
+
+
 def _enable_persistent_compile_cache():
     """Turn on JAX's persistent compilation cache for every entry point.
 
@@ -54,6 +72,11 @@ def _enable_persistent_compile_cache():
         flag if flag not in ("1", "on") else
         os.environ.get("JAX_COMPILATION_CACHE_DIR", default_dir)
     )
+    # Scope by a host-CPU fingerprint: XLA:CPU AOT entries bake in the
+    # compile machine's feature set, and loading one compiled on a
+    # different host SEGFAULTS (observed with a shared /tmp cache on
+    # heterogeneous CI hosts).
+    cache_dir = os.path.join(cache_dir, _machine_tag())
     try:
         if os.path.exists(cache_dir):
             st = os.stat(cache_dir)

@@ -641,8 +641,21 @@ class ECqPGroup:
             mont.device_limbs(bytes_be_to_limbs(yb, ctx.L))
         )
         arr = ECArray(self, x_m, y_m, jnp.asarray(infs))
-        if validate and not arr.is_in_group():
-            raise ByteTreeError("point not on curve")
+        if validate:
+            from vmn_tpu.arith.pgroup import _DEFER_TLS
+
+            hook = getattr(_DEFER_TLS, "hook", None)
+            if hook is not None and xb.shape[0] >= 256:
+                # Defer the on-curve check: keep the device value lazy
+                # and fetch it on the membership worker, overlapped
+                # with the main thread's equation dispatches (same
+                # contract as the ModP deferred Jacobi path — a failed
+                # check only happens on Byzantine transcripts and
+                # triggers an inline re-verification).
+                ok_dev = arr._on_curve_device()
+                hook(lambda: bool(ok_dev))
+            elif not arr.is_in_group():
+                raise ByteTreeError("point not on curve")
         arr._bt = bt
         return arr
 
@@ -650,15 +663,18 @@ class ECqPGroup:
                            validate: bool = True) -> "ECArray":
         from vmn_tpu.eio.bytetree import parse_ec_point_array
 
+        # Try the raw uniform-array path BEFORE touching bt.children:
+        # materializing children of a lazy RawByteTree builds one
+        # object per point, which is exactly what this path avoids.
+        pair = parse_ec_point_array(bt, self.fbytelen)
+        if pair is not None:
+            if size is not None and pair[0].shape[0] != size:
+                raise ByteTreeError("wrong EC array length")
+            return self._from_coord_bytes(*pair, bt, validate)
         if not bt.is_leaf and bt.children and bt.children[0].is_leaf:
             kids = [bt]  # single point node(x,y)
             scalar = True
         else:
-            pair = parse_ec_point_array(bt, self.fbytelen)
-            if pair is not None:
-                if size is not None and pair[0].shape[0] != size:
-                    raise ByteTreeError("wrong EC array length")
-                return self._from_coord_bytes(*pair, bt, validate)
             kids = list(bt.children)
             scalar = False
             if size is not None and len(kids) != size:
@@ -994,9 +1010,9 @@ class ECArray:
             and jnp.array_equal(self.inf, other.inf)
         )
 
-    def is_in_group(self) -> bool:
-        """y^2 == x^3 + ax + b for all non-infinity points (cofactor 1
-        on all NIST curves, so on-curve implies in-group)."""
+    def _on_curve_device(self):
+        """y^2 == x^3 + ax + b for all non-infinity points, as a LAZY
+        device scalar (no host sync)."""
         c = self.grp.curve
         y2 = c.sq(self.y)
         x3 = c.mul(c.sq(self.x), self.x)
@@ -1006,7 +1022,12 @@ class ECArray:
         )
         on = jnp.all(y2 == rhs, axis=-1)
         ok = jnp.logical_or(on, self.inf)
-        return bool(jnp.all(ok))
+        return jnp.all(ok)
+
+    def is_in_group(self) -> bool:
+        """On-curve test for all points (cofactor 1 on all NIST curves,
+        so on-curve implies in-group)."""
+        return bool(self._on_curve_device())
 
     def to_bytetree(self) -> ByteTree:
         return self.grp.elem_to_bytetree(self)

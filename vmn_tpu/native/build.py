@@ -64,6 +64,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_size_t),
             ctypes.POINTER(ctypes.c_size_t),
         ]
+        lib.bt_subtree_end.restype = ctypes.c_longlong
+        lib.bt_subtree_end.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_size_t,
+        ]
+        lib.bt_child_offsets.restype = ctypes.c_longlong
+        lib.bt_child_offsets.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.POINTER(ctypes.c_ulonglong), ctypes.c_size_t,
+        ]
         lib.prg_expand_sha256.restype = None
         lib.prg_expand_sha256.argtypes = [
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int32,

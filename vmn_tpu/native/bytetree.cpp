@@ -101,6 +101,66 @@ int bt_probe_array(const uint8_t *buf, size_t len, size_t *n_out,
     return 0;
 }
 
+// End offset of the byte-tree subtree starting at `start`, walked
+// iteratively with a per-depth remaining-children stack (depth cap 64,
+// matching the Python parser's _MAX_DEPTH).  Returns the end offset,
+// -1 on malformed/truncated input, -2 on excessive depth.
+long long bt_subtree_end(const uint8_t *buf, size_t len, size_t start) {
+    if (start >= len)
+        return -1;
+    size_t off = start;
+    unsigned long long stack[66];
+    int depth = 0;
+    stack[0] = 1;
+    while (depth >= 0) {
+        if (stack[depth] == 0) {
+            depth--;
+            continue;
+        }
+        stack[depth]--;
+        if (off + 5 > len)
+            return -1;
+        uint8_t tag = buf[off];
+        size_t cnt = get_be32(buf + off + 1);
+        off += 5;
+        if (tag == 0x01) {  // leaf
+            if (off + cnt > len)
+                return -1;
+            off += cnt;
+        } else if (tag == 0x00) {  // node
+            if (depth + 1 >= 65)
+                return -2;
+            stack[++depth] = cnt;
+        } else {
+            return -1;
+        }
+    }
+    return (long long)off;
+}
+
+// Start offsets of every child of the node spanning [0, len): writes
+// n_children+1 entries into `out` (the last is the node's end offset).
+// Returns the child count, -1 malformed, -2 too deep, -3 not a node or
+// out_cap too small.
+long long bt_child_offsets(const uint8_t *buf, size_t len,
+                           unsigned long long *out, size_t out_cap) {
+    if (len < 5 || buf[0] != 0x00)
+        return -3;
+    size_t cnt = get_be32(buf + 1);
+    if (cnt + 1 > out_cap)
+        return -3;
+    size_t off = 5;
+    for (size_t i = 0; i < cnt; i++) {
+        out[i] = off;
+        long long end = bt_subtree_end(buf, len, off);
+        if (end < 0)
+            return end;
+        off = (size_t)end;
+    }
+    out[cnt] = off;
+    return (long long)cnt;
+}
+
 } // extern "C"
 
 // ---------------------------------------------------------------------

@@ -278,50 +278,36 @@ class PoSVerifier:
 
         v = ring.from_int(v_int)
         h0 = self.h.get(0)
-
-        C = self.u.prod().div(self.h.prod())
-        D = self.B.get(n - 1).div(h0.exp(self.e.prod()))
-        # retained for test-vector output (reference: vmnv -t names
-        # PoS.C/PoS.D/PoS.k_*; ...FiatShamirSession.java:925-932)
-        self.C, self.D = C, D
         self.k_A, self.k_B, self.k_C = k_A, k_B, k_C
         self.k_D, self.k_E, self.k_F = k_D, k_E, k_F
 
-        # All equations are dispatched before the single device fetch at
-        # the end: per-equation .equals() host syncs would serialize
-        # device work against the host (one round trip per equation over
-        # a remote device link).
-        checks = []
-
-        # C, D (scalar equations)
-        checks.append(_eq_device(C.exp_mul(v, self.Cp), self.g.exp(k_C)))
-        checks.append(_eq_device(D.exp_mul(v, self.Dp), self.g.exp(k_D)))
-
-        # A, B and F carry the N-array multi-exponentiations; they are
-        # checked as ONE random linear combination with verifier-LOCAL
-        # 100-bit weights (soundness 2^-100, the protocol's statistical
-        # parameter; the reference checks them as separate array
-        # equations with the same array ops, PoSBasicTW.java:1000-1066 —
-        # the random combination is the TPU-shaped equivalent, see
-        # docs/DEVIATIONS.md).
+        # ALL equations — C, D, and the A/B/F random linear combination
+        # — are checked as ONE product that must equal the array
+        # multi-exp R, with verifier-LOCAL 100-bit weights rho
+        # (soundness 2^-100, the protocol's statistical parameter; the
+        # reference checks five separate equations with the same array
+        # ops, PoSBasicTW.java:1000-1066 — the random combination is
+        # the TPU-shaped equivalent, see docs/DEVIATIONS.md).
         #
+        #   C:   C^v Cp       == g^{k_C}
+        #   D:   D^v Dp       == g^{k_D}
         #   A:   A^v Ap       == g^{k_A} prod_i h_i^{k_E_i}
         #   B_i: B_i^v Bp_i   == g^{k_B_i} Bshift_i^{k_E_i}  (i < n)
         #   F_c: F_c^v Fp_c   == S_c prod_i wp_c,i^{k_E_i},  S = pk^{-k_F}
         #
-        # The B rows fold with per-row weights alpha_i; the A row gets
-        # weight 1 and rows B, F_c scalar weights rho.  Every k_E-power
-        # then collapses into ONE full-size multi-exp over the merged
-        # base M_i = h_i · Bshift_i^{rho_B alpha_i} · prod_c wp_c,i^{rho_c}:
+        # The B rows fold with per-row weights alpha_i; every k_E-power
+        # collapses into ONE full-size array multi-exp over the merged
+        # base M_i = h_i · Bshift_i^{rho_B alpha_i} · prod_c
+        # wp_c,i^{rho_c}, and every remaining SINGLE-element power —
+        # the former per-equation dispatches, each latency-bound on a
+        # remote device — collapses into ONE batched multi-exp over a
+        # ~dozen stacked bases:
         #
-        #   (A^v Ap) · LB^{rho_B} · prod_c (F_c^v Fp_c)^{rho_c}
-        #     == g^{k_A + rho_B <k_B, alpha>} · prod_c S_c^{rho_c}
-        #        · prod_i M_i^{k_E_i}
+        #   prod_j base_j^{e_j} · Ap == R = prod_i M_i^{k_E_i}
         #
-        # where LB = (prod B_i^{alpha_i})^v prod Bp_i^{alpha_i}.  The
-        # short-exponent work (100/200-bit) replaces three additional
-        # full-size multi-exps — the standalone verifier's former
-        # dominant cost.
+        # with C = u_prod/h_prod and D = B_{n-1}/h0^{e_prod} expanded
+        # into their factors so no single-element inversion or
+        # exponentiation ever dispatches alone.
         rs = _local_rs()
         alpha = ring.random_bits(n, _BATCH_CHECK_BITS, rs)
         rho_bits = min(2 * _BATCH_CHECK_BITS, ring.nbits)
@@ -330,31 +316,53 @@ class PoSVerifier:
             return ring.random_bits(1, _BATCH_CHECK_BITS, rs).get(0)
 
         bshift = self.B.shift_push(h0)
-        rho_B = rho()
+        rho_B, rho_C, rho_D = rho(), rho(), rho()
         wp_flat = _flat_garrays(self.wp)
         F_flat = _flat_garrays(self.F)
         Fp_flat = _flat_garrays(self.Fp)
-        S_flat = _flat_garrays(self.pkey.exp(k_F.neg()))
+        pk_flat = _flat_garrays(self.pkey)
+        kf_flat = _flat_farrays(k_F)
+        kf_flat = kf_flat * (len(pk_flat) // len(kf_flat))
         rho_F = [rho() for _ in wp_flat]
 
         merged = self.h.mul(bshift.exp_bits(alpha.mul(rho_B), rho_bits))
         for rc, wpc in zip(rho_F, wp_flat):
             merged = merged.mul(wpc.exp_bits(rc, _BATCH_CHECK_BITS))
-        rhs = merged.exp_prod(k_E)
+        R = merged.exp_prod(k_E)
 
-        LB = self.B.exp_prod(alpha, _BATCH_CHECK_BITS).exp(v).mul(
-            self.Bp.exp_prod(alpha, _BATCH_CHECK_BITS)
-        )
-        lhs = self.A.exp_mul(v, self.Ap).mul(
-            LB.exp_bits(rho_B, _BATCH_CHECK_BITS)
-        )
-        scal = self.g.exp(k_A.add(k_B.inner_product(alpha).mul(rho_B)))
-        for rc, Fc, Fpc, Sc in zip(rho_F, F_flat, Fp_flat, S_flat):
-            lhs = lhs.mul(Fc.exp_mul(v, Fpc).exp_bits(rc, _BATCH_CHECK_BITS))
-            scal = scal.mul(Sc.exp_bits(rc, _BATCH_CHECK_BITS))
-        checks.append(_eq_device(lhs, rhs.mul(scal)))
+        u_prod = self.u.prod()
+        h_prod = self.h.prod()
+        Bn1 = self.B.get(n - 1)
+        e_prod = self.e.prod()
+        P1 = self.B.exp_prod(alpha, _BATCH_CHECK_BITS)
+        P2 = self.Bp.exp_prod(alpha, _BATCH_CHECK_BITS)
+        # retained for test-vector output (reference: vmnv -t names
+        # PoS.C/PoS.D; ...FiatShamirSession.java:925-932); the limbs
+        # are only ever fetched when test vectors are requested.
+        self.C = u_prod.div(h_prod)
+        self.D = Bn1.div(h0.exp(e_prod))
 
-        return _all_checks(checks)
+        v_rho_C = v.mul(rho_C)
+        v_rho_D = v.mul(rho_D)
+        e_g = (
+            k_A.add(k_B.inner_product(alpha).mul(rho_B))
+            .add(k_C.mul(rho_C)).add(k_D.mul(rho_D)).neg()
+        )
+        bases = [u_prod, h_prod, self.Cp, Bn1, h0, self.Dp,
+                 self.A, P1, P2, self.g]
+        exps = [v_rho_C, v_rho_C.neg(), rho_C,
+                v_rho_D, e_prod.mul(v_rho_D).neg(), rho_D,
+                v, v.mul(rho_B), rho_B, e_g]
+        for rc, Fc, Fpc, pkc, kfc in zip(
+            rho_F, F_flat, Fp_flat, pk_flat, kf_flat
+        ):
+            bases.extend([Fc, Fpc, pkc])
+            exps.extend([v.mul(rc), rc, kfc.mul(rc)])
+        lhs = _stack_elems(grp, bases).exp_prod(
+            _stack_farrays(ring, exps)
+        ).mul(self.Ap)
+
+        return _all_checks([_eq_device(lhs, R)])
 
 
 # ---------------------------------------------------------------- helpers
@@ -373,6 +381,84 @@ def _flat_garrays(x):
             out.extend(_flat_garrays(c))
         return out
     return [x]
+
+
+def _flat_farrays(x):
+    """Flatten a (possibly nested) product-ring element into base-ring
+    components, mirroring `_flat_garrays` ordering."""
+    if hasattr(x, "components"):
+        out = []
+        for c in x.components:
+            out.extend(_flat_farrays(c))
+        return out
+    return [x]
+
+
+def _stack_elems(grp, elems):
+    """Stack single base-group elements into one group array — the
+    scalar sides of all verification equations ride ONE multi-exp
+    dispatch instead of a latency-bound dispatch per power."""
+    import jax.numpy as jnp
+
+    first = elems[0]
+    if hasattr(first, "inf"):  # EC points
+        from vmn_tpu.arith.ec import ECArray
+
+        return ECArray(
+            grp,
+            jnp.stack([e.x for e in elems]),
+            jnp.stack([e.y for e in elems]),
+            jnp.stack([jnp.asarray(e.inf) for e in elems]),
+        )
+    from vmn_tpu.arith.pgroup import GArray
+
+    return GArray(grp, jnp.stack([e.limbs for e in elems]))
+
+
+def _stack_farrays(ring, elems):
+    """Stack single ring elements into one (M, L) exponent array."""
+    import jax.numpy as jnp
+
+    from vmn_tpu.arith.pgroup import FArray
+
+    return FArray(ring, jnp.stack([e.limbs for e in elems]))
+
+
+def _flat_pairs(el, ex):
+    """Flatten a (possibly product) group element together with its
+    (possibly product) ring exponent into aligned base-group pairs,
+    mirroring the product-exp zip-or-map semantics (PPArray.exp)."""
+    if hasattr(el, "components"):
+        if el._ring_matches(ex):
+            sub = ex.components
+        else:
+            sub = [ex] * len(el.components)
+        out = []
+        for e2, x2 in zip(el.components, sub):
+            out.extend(_flat_pairs(e2, x2))
+        return out
+    return [(el, ex)]
+
+
+def _batched_one_check(field, equations):
+    """equations: list of [(elem, exponent), ...] rows, each asserting
+    prod_j elem_j^{exp_j} == 1 (elements may be product-group, with
+    product-ring or scalar exponents).  Every row gets a verifier-local
+    100-bit weight and the whole system collapses into ONE stacked
+    multi-exp dispatch compared against the identity — soundness
+    2^-100 per row, the same statistical argument as the PoS batching
+    (docs/DEVIATIONS.md)."""
+    rs = _local_rs()
+    bases, exps = [], []
+    for row in equations:
+        w = field.random_bits(1, _BATCH_CHECK_BITS, rs).get(0)
+        for el, ex in row:
+            for b, x in _flat_pairs(el, ex):
+                bases.append(b)
+                exps.append(x.mul(w))
+    grp = bases[0].grp
+    lhs = _stack_elems(grp, bases).exp_prod(_stack_farrays(field, exps))
+    return _eq_device(lhs, grp.one())
 
 
 def _local_rs():

@@ -36,7 +36,9 @@ from typing import List, Optional
 
 from vmn_tpu import VCR_COMPAT_VERSION
 from vmn_tpu.arith.pgroup import FArray, GArray, Permutation, PPArray, PPGroup
-from vmn_tpu.eio.bytetree import ByteTree, ByteTreeError, int_leaf, leaf, node
+from vmn_tpu.eio.bytetree import (
+    ByteTree, ByteTreeError, int_leaf, lazy_from_bytes, leaf, node,
+)
 from vmn_tpu.protocol import elgamal
 from vmn_tpu.protocol.com.board import BulletinBoard
 from vmn_tpu.protocol.context import ProtocolContext, ProtocolParams
@@ -466,7 +468,7 @@ class MixSession:
                 self._export(self._pf("PoSCReply", l), reply)
                 b.publish(f"PoSCReply{l}", reply.to_bytes())
             else:
-                u_bt = ByteTree.from_bytes(
+                u_bt = lazy_from_bytes(
                     b.wait_for(l, f"PermutationCommitment{l}")
                 )
                 V = PoSCVerifier(pos_par)
@@ -482,7 +484,7 @@ class MixSession:
                     8 * ctx.prg.min_seed_bytes, ctx.rbitlen,
                 )
                 V.set_batch_vector(seed)
-                com_bt = ByteTree.from_bytes(
+                com_bt = lazy_from_bytes(
                     b.wait_for(l, f"PoSCCommitment{l}")
                 )
                 commitment = V.set_commitment(com_bt)
@@ -491,7 +493,7 @@ class MixSession:
                     posc_challenge_data(seed, commitment),
                     ctx.vbitlen, ctx.rbitlen,
                 )
-                reply_bt = ByteTree.from_bytes(
+                reply_bt = lazy_from_bytes(
                     b.wait_for(l, f"PoSCReply{l}")
                 )
                 ok = V.verify(reply_bt, int.from_bytes(v_bytes, "big"))
@@ -649,7 +651,7 @@ class MixSession:
                 sh.exponents = st.exponents.copy_of_range(0, n)
                 sh.permutation = st.permutation.shrink(n)
             else:
-                raw = ByteTree.from_bytes(b.wait_for(l, f"KeepList{l}"))
+                raw = lazy_from_bytes(b.wait_for(l, f"KeepList{l}"))
                 try:
                     keep = np.frombuffer(raw.data, np.uint8).astype(bool)
                     if keep.shape[0] != st.maxciph or keep.sum() != n:
@@ -742,7 +744,7 @@ class MixSession:
                 b.publish(f"CCPoSReply{l}", reply.to_bytes())
                 valid_proofs += 1
             else:
-                out_bt = ByteTree.from_bytes(b.wait_for(l, f"Ciphertext{l}"))
+                out_bt = lazy_from_bytes(b.wait_for(l, f"Ciphertext{l}"))
                 try:
                     out = self._ciph_group().elem_from_bytetree(out_bt, n)
                 except (ByteTreeError, ValueError):
@@ -800,13 +802,13 @@ class MixSession:
         )
         V.set_batch_vector(seed)
         V.compute_AB(raisedu)
-        com_bt = ByteTree.from_bytes(b.wait_for(l, f"CCPoSCommitment{l}"))
+        com_bt = lazy_from_bytes(b.wait_for(l, f"CCPoSCommitment{l}"))
         commitment = V.set_commitment(com_bt)
         self._export(self._pf("CCPoSCommitment", l), commitment)
         v_bytes = ctx.challenger.challenge(
             ccpos_challenge_data(seed, commitment), ctx.vbitlen, ctx.rbitlen
         )
-        reply_bt = ByteTree.from_bytes(b.wait_for(l, f"CCPoSReply{l}"))
+        reply_bt = lazy_from_bytes(b.wait_for(l, f"CCPoSReply{l}"))
         verdict = V.verify(
             reply_bt, int.from_bytes(v_bytes, "big"),
             raisedh=st.raised_generators if raisedu is not None else None,
@@ -930,7 +932,7 @@ class MixSession:
                 reenc_factors = None
                 reenc_exponents = None
             else:
-                out_bt = ByteTree.from_bytes(b.wait_for(l, f"Ciphertext{l}"))
+                out_bt = lazy_from_bytes(b.wait_for(l, f"Ciphertext{l}"))
                 try:
                     out = self._ciph_group().elem_from_bytetree(out_bt, n)
                 except (ByteTreeError, ValueError):
@@ -980,7 +982,7 @@ class MixSession:
         """Recorded transcript output for idempotent resume, or None."""
         if self.nizkp is None or not (self.nizkp / name).exists():
             return None
-        bt = ByteTree.from_bytes((self.nizkp / name).read_bytes())
+        bt = lazy_from_bytes((self.nizkp / name).read_bytes())
         return self._ciph_group().elem_from_bytetree(bt, n, validate=False)
 
     def _prove_pos(self, b, l, prover, pkey, w, wp, s):
@@ -1018,7 +1020,7 @@ class MixSession:
         V.precompute(g, generators)
         V.set_instance(pkey, w, wp)
 
-        u_bt = ByteTree.from_bytes(b.wait_for(l, f"PermutationCommitment{l}"))
+        u_bt = lazy_from_bytes(b.wait_for(l, f"PermutationCommitment{l}"))
         V.set_permutation_commitment(u_bt)
         self._export(self._pf("PermutationCommitment", l), V.u.to_bytetree())
 
@@ -1030,7 +1032,7 @@ class MixSession:
         V.set_batch_vector(seed)
         V.compute_AF()
 
-        com_bt = ByteTree.from_bytes(b.wait_for(l, f"PoSCommitment{l}"))
+        com_bt = lazy_from_bytes(b.wait_for(l, f"PoSCommitment{l}"))
         commitment = V.set_commitment(com_bt)
         self._export(self._pf("PoSCommitment", l), commitment)
 
@@ -1039,7 +1041,7 @@ class MixSession:
         )
         v = int.from_bytes(v_bytes, "big")
 
-        reply_bt = ByteTree.from_bytes(b.wait_for(l, f"PoSReply{l}"))
+        reply_bt = lazy_from_bytes(b.wait_for(l, f"PoSReply{l}"))
         verdict = V.verify(reply_bt, v)
         if verdict:
             self._export(self._pf("PoSReply", l), reply_bt)
@@ -1122,7 +1124,7 @@ class MixSession:
             elif l == self.j:
                 factors[l] = f_own
             else:
-                bt = ByteTree.from_bytes(
+                bt = lazy_from_bytes(
                     b.wait_for(l, f"DecryptionFactors{l}")
                 )
                 try:
@@ -1169,7 +1171,7 @@ class MixSession:
                 yps[l], Bps[l] = yp_own, Bp_own
                 com_bt = com_own
             else:
-                com_bt = ByteTree.from_bytes(
+                com_bt = lazy_from_bytes(
                     b.wait_for(l, f"DecrCommitment{l}")
                 )
                 try:
@@ -1205,7 +1207,7 @@ class MixSession:
             elif l == self.j:
                 kxs[l] = kx_own
             else:
-                bt = ByteTree.from_bytes(b.wait_for(l, f"DecrReply{l}"))
+                bt = lazy_from_bytes(b.wait_for(l, f"DecrReply{l}"))
                 try:
                     kxs[l] = key_ring.from_bytetree(bt)
                 except (ByteTreeError, ValueError):
@@ -1254,7 +1256,7 @@ class MixSession:
         """Recorded plaintexts for idempotent resume, or None."""
         if self.nizkp is None or not (self.nizkp / "Plaintexts.bt").exists():
             return None
-        bt = ByteTree.from_bytes((self.nizkp / "Plaintexts.bt").read_bytes())
+        bt = lazy_from_bytes((self.nizkp / "Plaintexts.bt").read_bytes())
         return _plain_group_of(self.ctx, self.width).elem_from_bytetree(
             bt, n, validate=False
         )
@@ -1378,12 +1380,20 @@ def _verify_combined(field, g, A, joint_y, combined_f, e, ebitlen,
         term = kxs[i].mul(field.from_int(lam))
         ckx = term if ckx is None else ckx.add(term)
     combined_B = combined_f.exp_prod(e, ebitlen)
-    from vmn_tpu.protocol.hvzk.pos_tw import _all_checks, _eq_device
+    from vmn_tpu.protocol.hvzk.pos_tw import (
+        _all_checks, _batched_one_check,
+    )
 
-    return _all_checks([
-        _eq_device(joint_y.inv().exp(v_f).mul(cyp), g.exp(ckx)),
-        _eq_device(combined_B.exp(v_f).mul(cBp), A.exp(ckx)),
-    ])
+    # Both sigma equations collapse into ONE stacked multi-exp against
+    # the identity (each former term was a latency-bound single-element
+    # dispatch):
+    #   y^{-v} cyp g^{-ckx}        == 1
+    #   B^{v}  cBp A^{-ckx}        == 1
+    one = field.from_int(1)
+    return _all_checks([_batched_one_check(field, [
+        [(joint_y, v_f.neg()), (cyp, one), (g, ckx.neg())],
+        [(combined_B, v_f), (cBp, one), (A, ckx.neg())],
+    ])])
 
 
 def _verify_party(field, g, A, y_l, f_l, e, ebitlen, yp, Bp, kx,

@@ -16,7 +16,9 @@ from typing import Dict, List, Optional
 
 from vmn_tpu import VCR_COMPAT_VERSION
 from vmn_tpu.arith.pgroup import GArray, PPArray
-from vmn_tpu.eio.bytetree import ByteTree, ByteTreeError, leaf, node
+from vmn_tpu.eio.bytetree import (
+    ByteTree, ByteTreeError, lazy_from_bytes, leaf, node,
+)
 from vmn_tpu.protocol import elgamal
 from vmn_tpu.protocol.context import ProtocolContext, ProtocolParams
 from vmn_tpu.protocol.distr.dkg import evaluate_poly_in_exp
@@ -106,7 +108,10 @@ class FiatShamirVerifier:
 
     def _read_bt(self, path: Path) -> ByteTree:
         try:
-            return ByteTree.from_bytes(self._read(path))
+            # One linear structure scan + lazy slicing: large uniform
+            # arrays inside the file are consumed directly from the raw
+            # bytes (native codec), never expanded into per-leaf nodes.
+            return lazy_from_bytes(self._read(path))
         except ByteTreeError as e:
             self._fail(f"malformed byte tree in {path}: {e}")
 
