@@ -28,6 +28,32 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 
 import pytest  # noqa: E402
 
+# Serialize XLA:CPU compilation + persistent-cache writes across
+# threads: multi-party tests compile from k threads at once, and the
+# XLA:CPU AOT executable (de)serializer in this jaxlib build segfaults
+# intermittently under concurrent compile/serialize (observed twice in
+# full-suite runs, both inside compile_or_get_cached on worker
+# threads).  A process-wide lock costs a little parallel-compile time
+# and removes the crash window.
+import threading as _threading  # noqa: E402
+
+_compile_lock = _threading.RLock()
+
+
+def _install_compile_lock():
+    from jax._src import compiler as _jcompiler
+
+    orig = _jcompiler.backend_compile_and_load
+
+    def locked(*a, **kw):
+        with _compile_lock:
+            return orig(*a, **kw)
+
+    _jcompiler.backend_compile_and_load = locked
+
+
+_install_compile_lock()
+
 
 @pytest.fixture(scope="session")
 def small_group():

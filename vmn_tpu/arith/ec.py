@@ -710,7 +710,11 @@ class ECqPGroup:
             self.ctx.encode(ys),
             jnp.asarray(np.asarray(infs, bool)),
         )
-        return arr.get(0) if scalar else arr
+        if scalar:
+            p0 = arr.get(0)
+            p0._bt = bt  # scalar memo: avoid a mid-pipeline device fetch
+            return p0
+        return arr
 
     def to_bytetree(self) -> ByteTree:
         from vmn_tpu.eio.bytetree import string_leaf

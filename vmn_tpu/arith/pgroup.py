@@ -577,24 +577,36 @@ class ModPGroup:
             # verifier's dominant cost).
             from vmn_tpu.native.build import get_lib, jacobi_batch
 
-            if (hook is not None and raw.shape[0] >= 4096
+            import os as _os
+
+            qr_floor = 4096 if (_os.cpu_count() or 1) < 8 else (1 << 18)
+            if (hook is not None and raw.shape[0] >= qr_floor
                     and mont.use_pallas()):
                 # Large device-resident arrays: batched randomized QR
-                # test on the DEVICE (see _qr_check_device) — host-side
-                # Jacobi at 2^20 elements costs minutes on this host's
-                # cores, the device folds it into ~100 N-wide products.
+                # test on the DEVICE (see _qr_check_device).  The floor
+                # is host-adaptive: on a big TPU host the native Jacobi
+                # hides under the device equation work (the device QR
+                # pass ADDS ~100 N-wide products per array to the
+                # device critical path), but on a small tunnel host the
+                # Jacobi worker starves the device RPC loop (measured
+                # 20.9 s -> 50.8 s at N=65536 on 2 cores), and host
+                # Jacobi at 2^20 elements costs minutes.
                 defer_qr_device = True
                 validated = True
             elif (hook is not None and raw.shape[0] >= 256
                     and get_lib() is not None):
                 pb = self._p_bytes
 
-                def _check(raw=raw, pb=pb):
-                    # single native thread: the deferred checks run
+                import os as _os
+
+                jac_threads = max(1, min(16, (_os.cpu_count() or 2) - 2))
+
+                def _check(raw=raw, pb=pb, nt=jac_threads):
+                    # Leave >=2 cores free: the deferred checks run
                     # CONCURRENTLY with device work, and the device
-                    # tunnel loop needs a host core — saturating both
-                    # cores measured 3-4x slower device fetches
-                    ok = jacobi_batch(raw, pb, nthreads=1)
+                    # RPC/tunnel loop needs host cores — saturating a
+                    # 2-core host measured 3-4x slower device fetches.
+                    ok = jacobi_batch(raw, pb, nthreads=nt)
                     return ok is not None and bool(ok.all())
 
                 hook(_check)
@@ -611,7 +623,12 @@ class ModPGroup:
         if validate and not validated and not ga.is_in_group():
             raise ByteTreeError("element not in subgroup")
         if scalar:
-            return ga.get(0)
+            g0 = ga.get(0)
+            # Scalar memo: a later to_bytetree would otherwise fetch a
+            # single element from the device MID-PIPELINE, stalling the
+            # host behind all queued device work.
+            g0._bt = bt
+            return g0
         # Seed the serialization memo: the canonical fixed-size encoding
         # of a parsed array is the input itself, so a later export of
         # this array (transcript writes in the shuffle/decrypt chains)

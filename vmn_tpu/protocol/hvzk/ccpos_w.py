@@ -162,30 +162,45 @@ class CCPoSVerifier:
             return False
 
         v = ring.from_int(v_int)
-        if raised_exponent is not None and self.AB is not None:
-            ap_raised = self.Ap.exp_bits(raised_exponent, 64)
-            lhs = self.AB.exp_mul(v, _mul_each(self.Bp, ap_raised))
-            g_term = self.g.exp(k_A.mul(raised_exponent))
-            rhs = _mul_each(
-                self.pkey.exp(k_B.neg()).mul(
-                    _mul_each(self.wp, raisedh).exp_prod(k_E)
-                ),
-                g_term,
-            )
-            return lhs.equals(rhs)
-        from vmn_tpu.protocol.hvzk.pos_tw import _all_checks, _eq_device
+        from vmn_tpu.protocol.hvzk.pos_tw import (
+            _all_checks,
+            _batched_one_check,
+            _flat_farrays,
+            _flat_garrays,
+        )
 
-        checks = [
-            _eq_device(
-                self.A.exp_mul(v, self.Ap),
-                self.g.exp(k_A).mul(self.h.exp_prod(k_E)),
-            ),
-            _eq_device(
-                self.B.exp_mul(v, self.Bp),
-                self.pkey.exp(k_B.neg()).mul(self.wp.exp_prod(k_E)),
-            ),
-        ]
-        return _all_checks(checks)
+        one = ring.from_int(1)
+        none = one.neg()
+        if raised_exponent is not None and self.AB is not None:
+            # Per ciphertext component c:
+            #   AB_c^v Bp_c Ap^rho pkey_c^{k_B_c} W_c^{-1}
+            #     g^{-rho k_A} == 1,  W = (wp · h^rho)^{k_E}
+            # — all single-element powers ride the one stacked
+            # multi-exp of _batched_one_check.
+            W = _mul_each(self.wp, raisedh).exp_prod(k_E)
+            AB_f = _flat_garrays(self.AB)
+            Bp_f = _flat_garrays(self.Bp)
+            pk_f = _flat_garrays(self.pkey)
+            W_f = _flat_garrays(W)
+            kb_f = _flat_farrays(k_B)
+            kb_f = kb_f * (len(pk_f) // len(kb_f))
+            g_e = k_A.mul(raised_exponent).neg()
+            rows = [
+                [(ABc, v), (Bpc, one), (self.Ap, raised_exponent),
+                 (pkc, kbc), (Wc, none), (self.g, g_e)]
+                for ABc, Bpc, pkc, kbc, Wc in zip(
+                    AB_f, Bp_f, pk_f, kb_f, W_f
+                )
+            ]
+            return _all_checks([_batched_one_check(ring, rows)])
+
+        E1 = self.h.exp_prod(k_E)
+        E2 = self.wp.exp_prod(k_E)
+        return _all_checks([_batched_one_check(ring, [
+            [(self.A, v), (self.Ap, one), (self.g, k_A.neg()),
+             (E1, none)],
+            [(self.B, v), (self.Bp, one), (self.pkey, k_B), (E2, none)],
+        ])])
 
 
 def _mul_each(pp, x):

@@ -159,37 +159,40 @@ class PoSCVerifier:
         v = ring.from_int(v_int)
         h0 = self.h.get(0)
 
-        A = self.u.exp_prod(self.e, self.par.ebitlen)
-        C = self.u.prod().div(self.h.prod())
-        D = self.B.get(n - 1).div(h0.exp(self.e.prod()))
-
         from vmn_tpu.protocol.hvzk.pos_tw import (
             _BATCH_CHECK_BITS,
             _all_checks,
-            _eq_device,
+            _batched_one_check,
             _local_rs,
         )
 
-        # B-equation as one random linear combination (see pos_tw).
+        # Array-side reductions (multi-exps / products), then every
+        # equation — including each single-element power — collapses
+        # into ONE stacked multi-exp against the identity (see pos_tw;
+        # each former single-element dispatch is latency-bound on a
+        # remote device).  B-equation as one random linear combination.
         alpha = ring.random_bits(n, _BATCH_CHECK_BITS, _local_rs())
         bshift = self.B.shift_push(h0)
-        checks = [
-            _eq_device(
-                A.exp_mul(v, self.Ap),
-                self.g.exp(k_A).mul(self.h.exp_prod(k_E)),
-            ),
-            _eq_device(
-                self.B.exp_prod(alpha, _BATCH_CHECK_BITS).exp(v).mul(
-                    self.Bp.exp_prod(alpha, _BATCH_CHECK_BITS)
-                ),
-                self.g.exp(k_B.inner_product(alpha)).mul(
-                    bshift.exp_prod(k_E.mul(alpha))
-                ),
-            ),
-            _eq_device(C.exp_mul(v, self.Cp), self.g.exp(k_C)),
-            _eq_device(D.exp_mul(v, self.Dp), self.g.exp(k_D)),
-        ]
-        return _all_checks(checks)
+        A = self.u.exp_prod(self.e, self.par.ebitlen)
+        E1 = self.h.exp_prod(k_E)
+        P1 = self.B.exp_prod(alpha, _BATCH_CHECK_BITS)
+        P2 = self.Bp.exp_prod(alpha, _BATCH_CHECK_BITS)
+        E2 = bshift.exp_prod(k_E.mul(alpha))
+        u_prod = self.u.prod()
+        h_prod = self.h.prod()
+        Bn1 = self.B.get(n - 1)
+        e_prod = self.e.prod()
+        one = ring.from_int(1)
+        none = one.neg()
+        return _all_checks([_batched_one_check(ring, [
+            [(A, v), (self.Ap, one), (self.g, k_A.neg()), (E1, none)],
+            [(P1, v), (P2, one),
+             (self.g, k_B.inner_product(alpha).neg()), (E2, none)],
+            [(u_prod, v), (h_prod, v.neg()), (self.Cp, one),
+             (self.g, k_C.neg())],
+            [(Bn1, v), (h0, e_prod.mul(v).neg()), (self.Dp, one),
+             (self.g, k_D.neg())],
+        ])])
 
 
 def posc_seed_data(g, h, u) -> ByteTree:
