@@ -43,13 +43,16 @@ _compile_lock = _threading.RLock()
 def _install_compile_lock():
     from jax._src import compiler as _jcompiler
 
-    orig = _jcompiler.backend_compile_and_load
+    # compile_or_get_cached covers cache READ (AOT deserialize), the
+    # compile itself, and the cache WRITE (AOT serialize) — crashes
+    # were observed in all three under thread concurrency.
+    orig = _jcompiler.compile_or_get_cached
 
     def locked(*a, **kw):
         with _compile_lock:
             return orig(*a, **kw)
 
-    _jcompiler.backend_compile_and_load = locked
+    _jcompiler.compile_or_get_cached = locked
 
 
 _install_compile_lock()

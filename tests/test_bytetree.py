@@ -87,3 +87,81 @@ def test_file_roundtrip(tmp_path):
     p = tmp_path / "x.bt"
     bt.write_file(p)
     assert ByteTree.read_file(p) == bt
+
+
+# ----------------------------------------------------- lazy raw trees
+
+
+def test_lazy_roundtrip_and_equality():
+    from vmn_tpu.eio.bytetree import lazy_from_bytes
+
+    t = node(leaf(b"abc"), node(leaf(b"x"), leaf(b"yz")), leaf(b""))
+    raw = t.to_bytes()
+    lz = lazy_from_bytes(raw)
+    assert lz == t
+    assert lz.to_bytes() == raw
+    assert lz[0].data == b"abc"
+    assert lz[1][1].data == b"yz"
+    assert len(lz) == 3
+    assert not lz.is_leaf and lz[0].is_leaf
+    assert lz.total_size() == len(raw)
+    # lazy children embedded under an eager node serialize correctly
+    w = node(lz[1], leaf(b"q"))
+    assert ByteTree.from_bytes(w.to_bytes()) == w
+    assert w.total_size() == len(w.to_bytes())
+
+
+def test_lazy_rejects_malformed():
+    from vmn_tpu.eio.bytetree import lazy_from_bytes
+
+    raw = node(leaf(b"abc"), leaf(b"d")).to_bytes()
+    for bad in (raw[:-1], raw + b"\x00", b"\x02\x00\x00\x00\x01a", b""):
+        with pytest.raises(ByteTreeError):
+            lazy_from_bytes(bad)
+
+
+def test_lazy_rejects_too_deep():
+    from vmn_tpu.eio.bytetree import lazy_from_bytes
+
+    deep = b"\x01\x00\x00\x00\x00"
+    for _ in range(100):
+        deep = b"\x00\x00\x00\x00\x01" + deep
+    with pytest.raises(ByteTreeError):
+        lazy_from_bytes(deep)
+
+
+def test_lazy_type_errors_match_eager():
+    from vmn_tpu.eio.bytetree import lazy_from_bytes
+
+    lz = lazy_from_bytes(node(leaf(b"ab")).to_bytes())
+    with pytest.raises(ByteTreeError):
+        lz.data  # node has no data
+    with pytest.raises(ByteTreeError):
+        lz[0].children  # leaf has no children
+
+
+def test_lazy_uniform_array_fast_paths():
+    import numpy as np
+
+    from vmn_tpu.eio.bytetree import (
+        array_leaf_node,
+        ec_points_node,
+        lazy_from_bytes,
+        parse_ec_point_array,
+        parse_uniform_array,
+    )
+
+    arr = np.arange(512 * 16, dtype=np.uint8).reshape(512, 16)
+    outer = node(array_leaf_node(arr), leaf(b"tail"))
+    lz = lazy_from_bytes(outer.to_bytes())
+    got = parse_uniform_array(lz[0])
+    assert got is not None and np.array_equal(got, arr)
+
+    xb = np.arange(256 * 33, dtype=np.uint8).reshape(256, 33) % 251
+    yb = (xb + 7) % 251
+    ec = lazy_from_bytes(ec_points_node(xb, yb).to_bytes())
+    pair = parse_ec_point_array(ec, 33)
+    assert pair is not None
+    assert np.array_equal(pair[0], xb) and np.array_equal(pair[1], yb)
+    # wrong coordinate width falls back to None, not a crash
+    assert parse_ec_point_array(ec, 32) is None
