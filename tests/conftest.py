@@ -24,7 +24,13 @@ jax.config.update("jax_platforms", "cpu")
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+# Persist only compiles worth >=2 s: the XLA:CPU AOT serializer in this
+# jaxlib build segfaults intermittently (upstream bug — observed in
+# executable.serialize() during cache writes and in the deserializer
+# during reads, all under the compile lock below).  Caching only the
+# expensive programs keeps warm suite runs fast while cutting the
+# number of (de)serialize calls ~10x.
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 import pytest  # noqa: E402
 
@@ -40,12 +46,53 @@ import threading as _threading  # noqa: E402
 _compile_lock = _threading.RLock()
 
 
+def _protocol_threads_live() -> bool:
+    """True when worker threads (multi-party protocol tests) are live.
+
+    Daemon threads (board hint loops) and ThreadPoolExecutor workers
+    (the verifier's membership pool) don't count — they only wait or
+    run host-side native code.
+    """
+    cur = _threading.current_thread()
+    if cur is not _threading.main_thread():
+        return True
+    for t in _threading.enumerate():
+        if t is cur or t.daemon:
+            continue
+        if t.name.startswith(("ThreadPoolExecutor", "MainThread")):
+            continue
+        return True
+    return False
+
+
 def _install_compile_lock():
+    from jax._src import compilation_cache as _jcc
     from jax._src import compiler as _jcompiler
 
-    # compile_or_get_cached covers cache READ (AOT deserialize), the
-    # compile itself, and the cache WRITE (AOT serialize) — crashes
-    # were observed in all three under thread concurrency.
+    # Segfaults were observed in the XLA:CPU AOT serializer AND
+    # deserializer, exclusively while multi-party protocol tests had
+    # other threads executing XLA programs (a compile lock alone did
+    # not stop them, so the (de)serializer appears unsafe against
+    # concurrent *execution*, not just compilation).  While protocol
+    # worker threads are live, bypass persistent-cache reads and
+    # writes entirely; the in-process pjit cache still dedupes.
+    # (jax.config.update is NOT enough: is_cache_used() memoizes.)
+    orig_get = _jcc.get_executable_and_time
+    orig_put = _jcc.put_executable_and_time
+
+    def gated_get(*a, **kw):
+        if _protocol_threads_live():
+            return None, None
+        return orig_get(*a, **kw)
+
+    def gated_put(*a, **kw):
+        if _protocol_threads_live():
+            return None
+        return orig_put(*a, **kw)
+
+    _jcc.get_executable_and_time = gated_get
+    _jcc.put_executable_and_time = gated_put
+
     orig = _jcompiler.compile_or_get_cached
 
     def locked(*a, **kw):
