@@ -241,3 +241,48 @@ def test_posc_multi_round():
     assert not errors, errors[0]
     for j in range(1, k + 1):
         assert all(results[j].values()), results[j]
+
+
+def test_ccpos_raised_roundtrip_and_tamper(setup):
+    """Raised-mode (precomp) CCPoS verification: valid transcript
+    passes, tampered reply and wrong challenge fail (reference 50-bit
+    raised verifier optimization, ShufflerElGamalSession raised
+    generators)."""
+    grp, rs, prg, par, h = setup
+    g = grp.g
+    pk = _keypair(grp, rs)
+    pk_elem = pk.widen(1).as_ciph_elem()
+    field = grp.ring
+
+    r, pi, u = _commitment(grp, rs, h)
+    m = grp.random_array(N, _prg(b"\x05" * 32), 128)
+    renc = field.random((N,), rs, 0)
+    w = elgamal.encrypt(pk, m, renc)
+    s = field.random((N,), rs, 0)
+    wp = w.mul(elgamal.reencryption_factors(pk.widen(1), s)).permute(pi.inv())
+
+    raised_exp = field.from_int(12345)
+    raisedh = h.exp_bits(raised_exp, 64)
+    raisedu = u.exp_bits(raised_exp, 64)
+
+    P = CCPoSProver(par, rs)
+    P.set_instance(g, h, u, pk_elem, w, wp, r, pi, s)
+    commitment = P.commit(SEED)
+
+    V = CCPoSVerifier(par)
+    V.set_instance(g, h, u, pk_elem, w, wp)
+    V.set_batch_vector(SEED)
+    V.compute_AB(raisedu=raisedu)
+    V.set_commitment(commitment)
+    reply = P.reply(V_INT)
+    assert V.verify(reply, V_INT, raisedh=raisedh,
+                    raised_exponent=raised_exp)
+    assert not V.verify(reply, V_INT - 1, raisedh=raisedh,
+                        raised_exponent=raised_exp)
+    # tamper one byte of k_E inside the reply
+    raw = bytearray(reply.to_bytes())
+    raw[-3] ^= 0x01
+    from vmn_tpu.eio.bytetree import ByteTree
+
+    assert not V.verify(ByteTree.from_bytes(bytes(raw)), V_INT,
+                        raisedh=raisedh, raised_exponent=raised_exp)
