@@ -23,6 +23,10 @@ import numpy as np
 LIMB_BITS = 16
 LIMB_MASK = (1 << LIMB_BITS) - 1
 
+# Row count above which the native single-pass limb<->byte codec takes
+# over from the numpy strided route (below it, call overhead dominates).
+_NATIVE_MIN_ROWS = 1024
+
 
 def num_limbs(nbits: int) -> int:
     """Number of 16-bit limbs needed for an nbits integer."""
@@ -93,6 +97,16 @@ def limbs_to_bytes_be(arr, nbytes: int) -> np.ndarray:
     if arr.dtype not in (np.uint16, np.uint32):
         arr = arr.astype(np.uint32)
     L = arr.shape[-1]
+    n = int(np.prod(arr.shape[:-1]))
+    if n >= _NATIVE_MIN_ROWS:
+        # Native single-pass codec (vmn_tpu/native/bytetree.cpp): the
+        # numpy route below needs several strided passes over the
+        # buffer — seconds per 2^20-element transcript array.
+        from vmn_tpu.native.build import limbs_to_be
+
+        out = limbs_to_be(arr.reshape(n, L), nbytes)
+        if out is not None:
+            return out.reshape(*arr.shape[:-1], nbytes)
     # MSB-first limb order, each limb as 2 big-endian bytes.
     be = np.ascontiguousarray(arr[..., ::-1]).astype(">u2")
     raw = be.view(np.uint8).reshape(*arr.shape[:-1], 2 * L)
@@ -117,6 +131,13 @@ def bytes_be_to_limbs(data: np.ndarray, L: int) -> np.ndarray:
     """
     data = np.asarray(data, dtype=np.uint8)
     nbytes = data.shape[-1]
+    n = int(np.prod(data.shape[:-1]))
+    if n >= _NATIVE_MIN_ROWS:
+        from vmn_tpu.native.build import be_to_limbs
+
+        out = be_to_limbs(data.reshape(n, nbytes), L)
+        if out is not None:
+            return out.reshape(*data.shape[:-1], L)
     want = 2 * L
     if nbytes < want:
         pad_shape = (*data.shape[:-1], want - nbytes)

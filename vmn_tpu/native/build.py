@@ -84,8 +84,68 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int,
             ctypes.c_char_p,
         ]
+        lib.limbs_to_be.restype = ctypes.c_int
+        lib.limbs_to_be.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int,
+        ]
+        lib.be_to_limbs.restype = ctypes.c_int
+        lib.be_to_limbs.argtypes = [
+            ctypes.c_void_p, ctypes.c_size_t, ctypes.c_size_t,
+            ctypes.c_size_t, ctypes.c_void_p, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
+
+
+def limbs_to_be(limbs, nbytes: int, nthreads: int = 0):
+    """(n, L) uint16 LSB-first limbs -> (n, nbytes) big-endian bytes.
+
+    One cache-friendly native pass (numpy needs several strided passes
+    over hundreds of MB at transcript scale).  Returns None when the
+    native library is unavailable; raises ValueError when a value does
+    not fit the requested width (matching the numpy path).
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    limbs = np.ascontiguousarray(limbs, dtype=np.uint16)
+    n, L = limbs.shape
+    out = np.empty((n, nbytes), np.uint8)
+    if nthreads <= 0:
+        nthreads = min(8, os.cpu_count() or 1)
+    rc = lib.limbs_to_be(
+        limbs.ctypes.data, n, L, nbytes, out.ctypes.data, nthreads
+    )
+    if rc != 0:
+        raise ValueError("integer does not fit in requested byte width")
+    return out
+
+
+def be_to_limbs(data, L: int, nthreads: int = 0):
+    """(n, nbytes) big-endian bytes -> (n, L) uint16 LSB-first limbs.
+
+    Returns None when the native library is unavailable; raises
+    ValueError when a value does not fit L limbs.
+    """
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    n, nbytes = data.shape
+    out = np.empty((n, L), np.uint16)
+    if nthreads <= 0:
+        nthreads = min(8, os.cpu_count() or 1)
+    rc = lib.be_to_limbs(
+        data.ctypes.data, n, nbytes, L, out.ctypes.data, nthreads
+    )
+    if rc != 0:
+        raise ValueError(f"integer too large for {L} limbs")
+    return out
 
 
 def jacobi_batch(raw, p_bytes: bytes, nthreads: int = 0):

@@ -407,3 +407,110 @@ extern "C" int jacobi_batch(const uint8_t *data, size_t n, size_t eb,
     for (auto &th : ts) th.join();
     return 0;
 }
+
+// ------------------------------------------------------------------
+// Bulk limb<->byte conversion (the fixed-size transcript codec's hot
+// loop).  A (n, L) matrix of 16-bit limbs (LSB-first) converts to/from
+// (n, nbytes) big-endian unsigned encodings in ONE cache-friendly pass;
+// the numpy equivalent needs several strided passes over hundreds of MB
+// at transcript scale (measured 2.3s/3.6s per 2^20-element array vs
+// ~0.2s here).  Reference equivalent: LargeInteger.toByteArray /
+// byte-array ingestion under GMP (SURVEY.md §2.3).
+//
+// Returns 0 on success, -1 when a value does not fit the requested
+// width (callers raise, matching the numpy paths' ValueError).
+
+namespace limbcodec {
+
+inline int limbs_to_be_rows(const uint16_t *limbs, size_t lo, size_t hi,
+                            size_t L, size_t nbytes, uint8_t *out) {
+    const size_t full = nbytes / 2;  // limb pairs fully inside the width
+    for (size_t r = lo; r < hi; ++r) {
+        const uint16_t *src = limbs + r * L;
+        uint8_t *dst = out + r * nbytes;
+        std::memset(dst, 0, nbytes);
+        size_t k = 0;
+        for (; k < L && k < full; ++k) {
+            uint16_t v = src[k];
+            dst[nbytes - 1 - 2 * k] = (uint8_t)(v & 0xff);
+            dst[nbytes - 2 - 2 * k] = (uint8_t)(v >> 8);
+        }
+        if (k < L) {
+            // top limb straddles (odd nbytes) or overflows the width
+            if (2 * k < nbytes) {
+                uint16_t v = src[k];
+                if (v > 0xff) return -1;
+                dst[nbytes - 1 - 2 * k] = (uint8_t)(v & 0xff);
+                ++k;
+            }
+            for (; k < L; ++k)
+                if (src[k]) return -1;
+        }
+    }
+    return 0;
+}
+
+inline int be_to_limbs_rows(const uint8_t *data, size_t lo, size_t hi,
+                            size_t nbytes, size_t L, uint16_t *out) {
+    const size_t full = nbytes / 2;
+    for (size_t r = lo; r < hi; ++r) {
+        const uint8_t *src = data + r * nbytes;
+        uint16_t *dst = out + r * L;
+        size_t k = 0;
+        for (; k < L && k < full; ++k)
+            dst[k] = (uint16_t)src[nbytes - 1 - 2 * k] |
+                     (uint16_t)(src[nbytes - 2 - 2 * k] << 8);
+        if (k < L) {
+            if (2 * k < nbytes) {
+                dst[k] = src[nbytes - 1 - 2 * k];
+                ++k;
+            }
+            for (; k < L; ++k) dst[k] = 0;
+        } else {
+            // input wider than 2L bytes: leading bytes must be zero
+            for (size_t b = 0; b + 2 * L < nbytes; ++b)
+                if (src[b]) return -1;
+        }
+    }
+    return 0;
+}
+
+template <typename F>
+int run_rows(size_t n, int nthreads, F f) {
+    if (nthreads < 1) nthreads = 1;
+    if ((size_t)nthreads > n) nthreads = (int)(n ? n : 1);
+    if (nthreads == 1) return f((size_t)0, n);
+    std::vector<std::thread> ts;
+    std::vector<int> rcs(nthreads, 0);
+    size_t chunk = (n + nthreads - 1) / nthreads;
+    for (int t = 0; t < nthreads; ++t) {
+        size_t lo = (size_t)t * chunk;
+        size_t hi = lo + chunk < n ? lo + chunk : n;
+        if (lo >= hi) break;
+        ts.emplace_back([&rcs, t, lo, hi, &f] { rcs[t] = f(lo, hi); });
+    }
+    for (auto &th : ts) th.join();
+    for (int rc : rcs)
+        if (rc) return rc;
+    return 0;
+}
+
+}  // namespace limbcodec
+
+extern "C" {
+
+int limbs_to_be(const uint16_t *limbs, size_t n, size_t L, size_t nbytes,
+                uint8_t *out, int nthreads) {
+    return limbcodec::run_rows(n, nthreads, [&](size_t lo, size_t hi) {
+        return limbcodec::limbs_to_be_rows(limbs, lo, hi, L, nbytes, out);
+    });
+}
+
+int be_to_limbs(const uint8_t *data, size_t n, size_t nbytes, size_t L,
+                uint16_t *out, int nthreads) {
+    return limbcodec::run_rows(n, nthreads, [&](size_t lo, size_t hi) {
+        return limbcodec::be_to_limbs_rows(data, lo, hi, nbytes, L, out);
+    });
+}
+
+}  // extern "C"
