@@ -34,7 +34,7 @@ def main():
     from vmn_tpu.arith.pgroup import ModPGroup
     from vmn_tpu.crypto.hash import SHA256
     from vmn_tpu.crypto.prg import PRGHeuristic
-    from vmn_tpu.crypto.randomsource import SeededSource
+    from vmn_tpu.crypto.randomsource import DeviceSource, SeededSource
     from vmn_tpu.protocol import elgamal
     from vmn_tpu.protocol.com.board import LocalBoardHub
     from vmn_tpu.protocol.context import ProtocolParams
@@ -44,7 +44,9 @@ def main():
     params = ProtocolParams(sid="Bench", k=1, threshold=1, pgroup=group)
 
     hub = LocalBoardHub(1)
-    rs = SeededSource(b"bench-party")
+    # Prover randomness expands on-device (DeviceSource): bulk
+    # random exponent arrays cost no host->device upload.
+    rs = DeviceSource(b"bench-party")
     with tempfile.TemporaryDirectory() as tmp:
         party = MixNetParty(params, hub.board(1), rs, tmp)
         pk = party.keygen()

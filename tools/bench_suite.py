@@ -216,7 +216,7 @@ def _mix_once(n, k=1, threshold=1, width=1, group_name="modp2048",
     from vmn_tpu.arith.pgroup import ModPGroup, PPArray
     from vmn_tpu.crypto.hash import SHA256
     from vmn_tpu.crypto.prg import PRGHeuristic
-    from vmn_tpu.crypto.randomsource import SeededSource
+    from vmn_tpu.crypto.randomsource import DeviceSource, SeededSource
     from vmn_tpu.protocol import elgamal
     from vmn_tpu.protocol.com.board import LocalBoardHub
     from vmn_tpu.protocol.context import ProtocolParams
@@ -241,7 +241,7 @@ def _mix_once(n, k=1, threshold=1, width=1, group_name="modp2048",
         def keyg(j):
             try:
                 p = MixNetParty(params, hub.board(j),
-                                SeededSource(f"bs{j}".encode()),
+                                DeviceSource(f"bs{j}".encode()),
                                 f"{tmp}/P{j}")
                 p.keygen()
                 parties[j] = p

@@ -215,6 +215,19 @@ class PField:
 
     def random_bits_raw(self, n: int, bits: int, randomsource):
         """n uniform `bits`-bit integers as (n, Lw) standard limbs."""
+        if hasattr(randomsource, "random_limbs"):
+            # Device-expanded PRF source (DeviceSource): no bulk
+            # host->device upload — ~300 MB saved per full-width draw
+            # at N = 2^20.
+            limbs = randomsource.random_limbs(n, bits)
+            Lw = max(self.L, num_limbs(bits))
+            if limbs.shape[1] < Lw:
+                import jax.numpy as jnp
+
+                limbs = jnp.pad(
+                    limbs, ((0, 0), (0, Lw - limbs.shape[1]))
+                )
+            return limbs
         nbytes = (bits + 7) // 8
         raw = np.frombuffer(
             randomsource.read_bytes(n * nbytes), np.uint8
