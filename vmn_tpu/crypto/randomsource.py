@@ -122,9 +122,11 @@ class DeviceSource(RandomSource):
             (int.from_bytes(self._seed[:8], "big") ^ 0x5D31C0DE)
             & 0x7FFFFFFFFFFFFFFF
         )
-        key = jax.random.fold_in(
-            key, int.from_bytes(self._seed[8:12], "big") & 0x7FFFFFFF
-        )
+        # fold in the WHOLE 256-bit seed, one 31-bit word at a time
+        for i in range(8, 32, 4):
+            key = jax.random.fold_in(
+                key, int.from_bytes(self._seed[i:i + 4], "big") & 0x7FFFFFFF
+            )
         draw = self._draws
         self._draws += 1
         return _prf_limbs(key, draw, n, bits)
